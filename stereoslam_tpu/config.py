@@ -1,0 +1,284 @@
+"""Typed configuration for the TPU-native stereo SLAM pipeline.
+
+Replaces the reference's stringly-typed singleton over ``cv::FileStorage``
+(reference include/myslam/config.h:14-20, src/config.cpp:5-16) with frozen
+dataclasses carrying defaults and validation.  The reference silently returns
+zero for any missing key — a failure mode we explicitly avoid: unknown keys
+warn, missing keys fall back to a documented default, and invalid values raise.
+
+The loader understands the reference's OpenCV-YAML config files directly
+(e.g. reference config/stereo/gray/KITTI00-02.yaml), so a user of the
+reference can point this framework at their existing config unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole stereo camera (reference src/camera.cpp:9-48, system.cpp:101-146)."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    # Right-camera intrinsics (identical on KITTI; kept for generality).
+    fx_right: float = 718.856
+    fy_right: float = 718.856
+    cx_right: float = 607.1928
+    cy_right: float = 185.2157
+    # Radial/tangential distortion (left, right).
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k1_right: float = 0.0
+    k2_right: float = 0.0
+    p1_right: float = 0.0
+    p2_right: float = 0.0
+    need_undistortion: bool = False
+    # Stereo baseline times fx (reference "Camera.bf"). baseline = bf / fx.
+    bf: float = 386.1448
+    fps: float = -1.0
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    def validate(self) -> None:
+        if self.fx <= 0 or self.fy <= 0:
+            raise ValueError(f"focal lengths must be positive: fx={self.fx} fy={self.fy}")
+        if self.bf <= 0:
+            raise ValueError(f"Camera.bf (baseline*fx) must be positive: {self.bf}")
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """ORB extraction + tracking-quality thresholds.
+
+    Mirrors reference config KITTI00-02.yaml:47-66 and the frontend status
+    machine thresholds (reference src/frontend.cpp:21-39, 97-109).
+    """
+
+    num_features_init_good: int = 100   # min inliers to accept stereo init
+    num_features_tracking_good: int = 50
+    num_features_tracking_bad: int = 10
+    n_init_features: int = 300          # ORB features at init
+    n_new_features: int = 100           # new features per keyframe
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # Fixed-shape capacities (TPU-native additions; must dominate the counts above).
+    max_features: int = 400             # feature slots per frame
+    cell_size: int = 16                 # grid cell for spatially-uniform detection
+    edge_margin: int = 20               # border kept clear of keypoints (BRIEF patch)
+
+    def validate(self) -> None:
+        if self.max_features < self.n_init_features:
+            raise ValueError("max_features must be >= n_init_features")
+        if not (1.0 < self.scale_factor < 2.0):
+            raise ValueError(f"scale_factor out of range: {self.scale_factor}")
+        if self.n_levels < 1 or self.n_levels > 12:
+            raise ValueError(f"n_levels out of range: {self.n_levels}")
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """LK flow + pose-only optimization (reference src/frontend.cpp:127-276)."""
+
+    lk_window: int = 11        # cv::Size(11, 11), frontend.cpp:150
+    lk_levels: int = 4         # maxLevel=3 -> levels 0..3
+    lk_iters: int = 30
+    lk_eps: float = 0.01
+    pose_rounds: int = 4       # outlier re-classification rounds, frontend.cpp:218
+    pose_iters: int = 10       # LM iterations per round
+    chi2_threshold: float = 5.991
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Global + active map capacities (reference src/map.cpp, map.h:74-79)."""
+
+    active_window: int = 7            # Map.activeMap.size, KITTI00-02.yaml:73
+    min_kf_distance: float = 0.2      # eviction near-threshold, map.cpp:96
+    # Fixed device-array capacities (TPU-native).
+    max_keyframes: int = 1536
+    max_landmarks: int = 131072
+    max_active_landmarks: int = 2048  # compacted landmark slots for windowed BA
+
+    def validate(self) -> None:
+        if self.active_window < 2:
+            raise ValueError("active_window must be >= 2")
+
+
+@dataclass(frozen=True)
+class BackendConfig:
+    """Sliding-window BA (reference src/backend.cpp:126-269)."""
+
+    ba_rounds: int = 5          # outlier re-classification rounds, backend.cpp:213
+    ba_iters: int = 10
+    chi2_threshold: float = 5.991
+    min_inlier_ratio: float = 0.5
+
+
+@dataclass(frozen=True)
+class LoopClosingConfig:
+    """Deep loop detection + correction (reference src/loopclosing.cpp)."""
+
+    similarity_high: float = 0.94       # KITTI00-02.yaml:79
+    similarity_low: float = 0.92        # KITTI00-02.yaml:80
+    max_above_low: int = 3              # loopclosing.cpp:140-149
+    database_min_size: int = 50         # KITTI00-02.yaml:88
+    id_gap: int = 20                    # skip recent KFs, loopclosing.cpp:133
+    min_matches: int = 10               # loopclosing.cpp:198
+    min_inliers: int = 10               # loopclosing.cpp:279
+    correction_threshold: float = 1.0   # pose-error norm gating correction, loopclosing.cpp:284-289
+    insertion_cooldown: int = 5         # KFs skipped after a closed loop, loopclosing.cpp:674-679
+    descriptor_dim: int = 1064          # DeepLCD DescrVector, deeplcd.h:25
+    descriptor_image_hw: tuple = (120, 160)  # resize target, deeplcd.cpp:43-52
+    pnp_ransac_iters: int = 128
+    pnp_ransac_threshold: float = 5.991
+    show_result: bool = False
+
+
+@dataclass(frozen=True)
+class ViewerConfig:
+    """Offline/optional visualization (replaces reference src/viewer.cpp)."""
+
+    show: bool = False
+    keyframe_size: float = 0.1
+    point_size: float = 2.0
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-chip sharding (new capability; the reference is single-process)."""
+
+    data_axis: str = "data"       # multi-sequence batch axis
+    model_axis: str = "model"     # landmark/descriptor-block sharding axis
+    dp_size: int = 1
+    mp_size: int = 1
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    loop: LoopClosingConfig = field(default_factory=LoopClosingConfig)
+    viewer: ViewerConfig = field(default_factory=ViewerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    image_height: int = 376
+    image_width: int = 1241
+
+    def validate(self) -> "SlamConfig":
+        self.camera.validate()
+        self.features.validate()
+        self.map.validate()
+        return self
+
+    def replace(self, **kwargs: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# OpenCV-YAML loader (reference-compatible config files)
+# ---------------------------------------------------------------------------
+
+# Map from reference YAML keys (KITTI00-02.yaml) to (section, field) pairs.
+_REFERENCE_KEYMAP: Dict[str, tuple] = {
+    "Camera.left.fx": ("camera", "fx"),
+    "Camera.left.fy": ("camera", "fy"),
+    "Camera.left.cx": ("camera", "cx"),
+    "Camera.left.cy": ("camera", "cy"),
+    "Camera.right.fx": ("camera", "fx_right"),
+    "Camera.right.fy": ("camera", "fy_right"),
+    "Camera.right.cx": ("camera", "cx_right"),
+    "Camera.right.cy": ("camera", "cy_right"),
+    "Camera.left.k1": ("camera", "k1"),
+    "Camera.left.k2": ("camera", "k2"),
+    "Camera.left.p1": ("camera", "p1"),
+    "Camera.left.p2": ("camera", "p2"),
+    "Camera.right.k1": ("camera", "k1_right"),
+    "Camera.right.k2": ("camera", "k2_right"),
+    "Camera.right.p1": ("camera", "p1_right"),
+    "Camera.right.p2": ("camera", "p2_right"),
+    "Camera.bNeedUndistortion": ("camera", "need_undistortion"),
+    "Camera.bf": ("camera", "bf"),
+    "Camera.fps": ("camera", "fps"),
+    "numFeatures.initGood": ("features", "num_features_init_good"),
+    "numFeatures.trackingGood": ("features", "num_features_tracking_good"),
+    "numFeatures.trackingBad": ("features", "num_features_tracking_bad"),
+    "ORBextractor.nInitFeatures": ("features", "n_init_features"),
+    "ORBextractor.nNewFeatures": ("features", "n_new_features"),
+    "ORBextractor.scaleFactor": ("features", "scale_factor"),
+    "ORBextractor.nLevels": ("features", "n_levels"),
+    "ORBextractor.iniThFAST": ("features", "ini_th_fast"),
+    "ORBextractor.minThFAST": ("features", "min_th_fast"),
+    "Map.activeMap.size": ("map", "active_window"),
+    "LCD.similarityScoreThreshold.high": ("loop", "similarity_high"),
+    "LCD.similarityScoreThreshold.low": ("loop", "similarity_low"),
+    "LCD.nDatabaseMinSize": ("loop", "database_min_size"),
+    "LoopClosing.bShowResult": ("loop", "show_result"),
+    "Viewer.bShow": ("viewer", "show"),
+    "Viewer.KeyFrameSize": ("viewer", "keyframe_size"),
+    "Viewer.PointSize": ("viewer", "point_size"),
+}
+
+_IGNORED_PREFIXES = ("Viewer.",)  # pangolin-specific knobs with no equivalent here
+
+_LINE_RE = re.compile(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(\S.*?)\s*$")
+
+
+def parse_opencv_yaml(text: str) -> Dict[str, Any]:
+    """Parse a flat OpenCV ``key: value`` YAML document into a dict."""
+    out: Dict[str, Any] = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0]
+        if line.strip().startswith("%"):
+            continue
+        m = _LINE_RE.match(line)
+        if not m:
+            continue
+        key, raw = m.group(1), m.group(2)
+        try:
+            val: Any = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        out[key] = val
+    return out
+
+
+def load_config(path: str, warn_unknown: bool = True) -> SlamConfig:
+    """Load a :class:`SlamConfig` from a reference-style OpenCV YAML file."""
+    with open(path, "r") as f:
+        kv = parse_opencv_yaml(f.read())
+
+    sections: Dict[str, Dict[str, Any]] = {}
+    for key, val in kv.items():
+        if key in _REFERENCE_KEYMAP:
+            section, fname = _REFERENCE_KEYMAP[key]
+            if fname.startswith("need_") or fname == "show" or fname == "show_result":
+                val = bool(val)
+            sections.setdefault(section, {})[fname] = val
+        elif warn_unknown and not key.startswith(_IGNORED_PREFIXES):
+            import logging
+
+            logging.getLogger(__name__).warning("unknown config key ignored: %s", key)
+
+    cfg = SlamConfig()
+    replacements: Dict[str, Any] = {}
+    for section, fields in sections.items():
+        replacements[section] = dataclasses.replace(getattr(cfg, section), **fields)
+    return cfg.replace(**replacements).validate()

@@ -1,0 +1,200 @@
+"""FAST-9/16 corner detection + spatially-uniform keypoint selection.
+
+TPU-native replacement for the reference's grid-tiled ``cv::FAST`` with dual
+threshold (reference ORBextractor.cpp:998-1074) and the quadtree keypoint
+distribution ``DistributeOctTree`` (ORBextractor.cpp:586-810).
+
+Design notes (why this is not a port):
+- The reference loops over 30x30 cells calling scalar FAST per cell and then
+  recursively splits a quadtree to spread keypoints.  Both are branchy,
+  data-dependent CPU patterns.  Here the whole image is evaluated at once on
+  the VPU: the 16-pixel Bresenham circle becomes 16 shifted image views, the
+  "9 contiguous" test becomes bit-twiddling on a packed 32-bit mask, and the
+  spatial distribution becomes a per-cell top-1 + global top-K reduction —
+  all fixed-shape, one fused XLA program.
+- Dual threshold semantics are preserved: corners at the high threshold
+  outrank low-threshold corners everywhere (ORBextractor.cpp:1038-1043
+  retries a cell at minThFAST only when iniThFAST found nothing; per-cell
+  top-1 with a rank bonus reproduces that preference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — (dx, dy), the standard FAST-16 ring.
+_CIRCLE = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+_ARC_LEN = 9  # FAST-9: at least 9 contiguous circle pixels all brighter/darker
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set. Invalid slots have valid=False, xy=0."""
+
+    xy: jnp.ndarray      # (N, 2) float32, (x, y)
+    score: jnp.ndarray   # (N,) float32 corner response
+    valid: jnp.ndarray   # (N,) bool
+
+
+def _ring_diffs(img: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) differences circle_pixel - center, via rolled views."""
+    shifted = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for (dx, dy) in _CIRCLE]
+    return jnp.stack(shifted, axis=0) - img[None]
+
+
+def _contiguous_arc(mask16: jnp.ndarray) -> jnp.ndarray:
+    """True where any 9 contiguous bits of the 16-bit ring mask are set.
+
+    mask16: (16, H, W) bool -> (H, W) bool.  Packs the ring into an int32,
+    doubles it (wrap-around), then ANDs 9 shifted copies — branch-free.
+    """
+    # uint32 is essential: with int32, doubling sets bit 31 and ">>" becomes
+    # an arithmetic shift that fabricates set bits.
+    bits = jnp.zeros(mask16.shape[1:], dtype=jnp.uint32)
+    for k in range(16):
+        bits = bits | (mask16[k].astype(jnp.uint32) << k)
+    wrapped = bits | (bits << 16)
+    acc = wrapped
+    for s in range(1, _ARC_LEN):
+        acc = acc & (wrapped >> s)
+    return acc != 0
+
+
+def fast_response(img: jnp.ndarray, threshold: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-image FAST-9 corner mask + response.
+
+    Response is the sum of |circle - center| excess over the threshold on the
+    dominant (bright or dark) side — the same ranking OpenCV's FAST score
+    induces for NMS purposes.
+
+    Returns (corner (H, W) bool, score (H, W) float32).
+    """
+    d = _ring_diffs(img)
+    bright = d > threshold
+    dark = d < -threshold
+    is_corner = _contiguous_arc(bright) | _contiguous_arc(dark)
+    score_bright = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
+    score_dark = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
+    score = jnp.maximum(score_bright, score_dark)
+    return is_corner, jnp.where(is_corner, score, 0.0)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-maximum suppression (keep strict local maxima, ties broken
+    toward the top-left neighbour like OpenCV's row-major scan)."""
+    padded = jnp.pad(score, 1, constant_values=-1.0)
+    h, w = score.shape
+    best = score
+    keep = jnp.ones_like(score, dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neigh = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+            if (dy, dx) < (0, 0):
+                keep = keep & (best > neigh)
+            else:
+                keep = keep & (best >= neigh)
+    return jnp.where(keep, score, 0.0)
+
+
+def detect_keypoints(
+    img: jnp.ndarray,
+    n_features: int,
+    ini_threshold: float = 20.0,
+    min_threshold: float = 7.0,
+    cell_size: int = 16,
+    border: int = 20,
+    forbid_mask: Optional[jnp.ndarray] = None,
+) -> Keypoints:
+    """Detect up to ``n_features`` spatially-distributed FAST keypoints.
+
+    Functional equivalent of ``ORBextractor::Detect`` (ORBextractor.cpp:
+    984-1080): dual-threshold FAST, optional exclusion mask (the frontend
+    masks a box around existing features, frontend.cpp:305-309), then a
+    spatial-distribution pass (per-cell top-1, then global top-K) standing in
+    for ``DistributeOctTree``.
+
+    Args:
+      img: (H, W) float32.
+      forbid_mask: optional (H, W) bool, True where detection is forbidden.
+
+    Returns: :class:`Keypoints` with capacity ``n_features``.
+    """
+    h, w = img.shape
+    _, score_hi = fast_response(img, ini_threshold)
+    _, score_lo = fast_response(img, min_threshold)
+    score_hi = _nms3(score_hi)
+    score_lo = _nms3(score_lo)
+
+    # High-threshold corners dominate low-threshold ones in every ranking.
+    BONUS = 1e6
+    score = jnp.where(score_hi > 0.0, score_hi + BONUS, score_lo)
+
+    # Border + user mask.
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    in_border = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score = jnp.where(in_border, score, 0.0)
+    if forbid_mask is not None:
+        score = jnp.where(forbid_mask, 0.0, score)
+
+    # Per-cell top-1: pad to a multiple of the cell, reshape, reduce.
+    ch = -(-h // cell_size) * cell_size
+    cw = -(-w // cell_size) * cell_size
+    padded = jnp.pad(score, ((0, ch - h), (0, cw - w)))
+    ncy, ncx = ch // cell_size, cw // cell_size
+    cells = padded.reshape(ncy, cell_size, ncx, cell_size).transpose(0, 2, 1, 3)
+    cells = cells.reshape(ncy * ncx, cell_size * cell_size)
+    cell_best = jnp.max(cells, axis=1)
+    cell_arg = jnp.argmax(cells, axis=1)
+
+    # Global top-K over cell winners.
+    k = min(n_features, ncy * ncx)
+    top_scores, top_cells = jax.lax.top_k(cell_best, k)
+    in_cell = cell_arg[top_cells]
+    cy = top_cells // ncx
+    cx = top_cells % ncx
+    py = cy * cell_size + in_cell // cell_size
+    px = cx * cell_size + in_cell % cell_size
+
+    valid = top_scores > 0.0
+    xy = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    # Strip the dual-threshold rank bonus from reported responses.
+    resp = jnp.where(top_scores >= BONUS, top_scores - BONUS, top_scores)
+
+    if k < n_features:
+        pad = n_features - k
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), jnp.float32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return Keypoints(xy=xy, score=jnp.where(valid, resp, 0.0), valid=valid)
+
+
+def forbid_mask_from_points(
+    h: int, w: int, xy: jnp.ndarray, valid: jnp.ndarray, radius: int = 10
+) -> jnp.ndarray:
+    """Rasterize "no new detections near existing features" (the rectangle
+    mask of frontend.cpp:305-309) as a box splat around each valid point."""
+    mask = jnp.zeros((h, w), dtype=jnp.int32)
+    cx = jnp.round(xy[:, 0]).astype(jnp.int32)
+    cy = jnp.round(xy[:, 1]).astype(jnp.int32)
+    v = valid.astype(jnp.int32)
+    size = 2 * radius + 1
+
+    def splat(mask, args):
+        x, y, vi = args
+        x0 = jnp.clip(x - radius, 0, w - size)
+        y0 = jnp.clip(y - radius, 0, h - size)
+        patch = jax.lax.dynamic_slice(mask, (y0, x0), (size, size))
+        return jax.lax.dynamic_update_slice(mask, patch + vi, (y0, x0)), None
+
+    mask, _ = jax.lax.scan(splat, mask, (cx, cy, v))
+    return mask > 0

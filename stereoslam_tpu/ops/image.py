@@ -1,0 +1,137 @@
+"""Image raster primitives: separable Gaussian blur, pyramids, bilinear sampling.
+
+These replace the OpenCV raster calls the reference leans on
+(``cv::GaussianBlur`` in ORBextractor.cpp:1203 / deeplcd.cpp:47,
+``cv::resize`` in ORBextractor.cpp:1242, and the implicit bilinear
+interpolation inside ``cv::calcOpticalFlowPyrLK``) with fused XLA ops that
+operate on whole images and batched sample grids.
+
+Images are ``(H, W)`` float32 arrays in [0, 255].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=16)
+def _gaussian_taps(sigma: float, radius: int) -> tuple:
+    xs = [math.exp(-0.5 * (i / sigma) ** 2) for i in range(-radius, radius + 1)]
+    s = sum(xs)
+    return tuple(x / s for x in xs)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur with edge replication.
+
+    Matches the role of ``cv::GaussianBlur(image, 7, 7, 2, 2, BORDER_REFLECT)``
+    used before BRIEF sampling (reference ORBextractor.cpp:1200-1205).
+    Implemented as 2x(2r+1) shifted adds so XLA fuses it into a single
+    vectorized pass — no conv dim juggling for a single-channel image.
+    """
+    taps = _gaussian_taps(float(sigma), int(radius))
+    pad = radius
+    padded = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
+    h, w = img.shape
+    out = jnp.zeros_like(img)
+    for i, t in enumerate(taps):
+        out = out + t * jax.lax.dynamic_slice(padded, (i, pad), (h, w))
+    tmp = jnp.pad(out, ((0, 0), (0, 0)))
+    out2 = jnp.zeros_like(img)
+    padded2 = jnp.pad(tmp, ((0, 0), (pad, pad)), mode="edge")
+    for i, t in enumerate(taps):
+        out2 = out2 + t * jax.lax.dynamic_slice(padded2, (0, i), (h, w))
+    return out2
+
+
+def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float) -> Tuple[Tuple[int, int], ...]:
+    shapes = []
+    for lvl in range(n_levels):
+        s = scale_factor ** lvl
+        shapes.append((max(8, int(round(h / s))), max(8, int(round(w / s)))))
+    return tuple(shapes)
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> Tuple[jnp.ndarray, ...]:
+    """Image pyramid with the reference's 1.2x level spacing
+    (ORBextractor.cpp:1229-1265).  Level 0 is the input image; each level is
+    bilinearly resized from the previous one, like cv::resize(INTER_LINEAR).
+    All shapes are static so the pyramid is one jittable tuple pytree.
+    """
+    shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale_factor)
+    levels = [img]
+    for lvl in range(1, n_levels):
+        levels.append(jax.image.resize(levels[-1], shapes[lvl], method="bilinear"))
+    return tuple(levels)
+
+
+def halve(img: jnp.ndarray) -> jnp.ndarray:
+    """2x downsample by 2x2 averaging (the classic LK pyramid reduction)."""
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    img = img[: h2 * 2, : w2 * 2]
+    return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2])
+
+
+def build_lk_pyramid(img: jnp.ndarray, n_levels: int) -> Tuple[jnp.ndarray, ...]:
+    """Power-of-two pyramid for pyramidal LK (cv::buildOpticalFlowPyramid)."""
+    levels = [img]
+    for _ in range(1, n_levels):
+        levels.append(halve(levels[-1]))
+    return tuple(levels)
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of ``img`` at float coordinates.
+
+    Args:
+      img: (H, W) float32.
+      xy:  (..., 2) float32 pixel coordinates as (x, y).  Out-of-bounds
+           coordinates are clamped (callers mask separately).
+
+    Returns: (...,) float32 samples.
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    Ia = img[y0, x0]
+    Ib = img[y0, x1]
+    Ic = img[y1, x0]
+    Id = img[y1, x1]
+    return (
+        Ia * (1 - fx) * (1 - fy)
+        + Ib * fx * (1 - fy)
+        + Ic * (1 - fx) * fy
+        + Id * fx * fy
+    )
+
+
+def extract_patches(img: jnp.ndarray, centers_xy: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather square (2r+1)^2 patches around integer centers.
+
+    Args:
+      img: (H, W).
+      centers_xy: (N, 2) float or int (x, y); rounded and clamped so the
+        patch stays in-bounds.
+
+    Returns: (N, 2r+1, 2r+1).
+    """
+    size = 2 * radius + 1
+    h, w = img.shape
+    cx = jnp.clip(jnp.round(centers_xy[:, 0]).astype(jnp.int32), radius, w - radius - 1)
+    cy = jnp.clip(jnp.round(centers_xy[:, 1]).astype(jnp.int32), radius, h - radius - 1)
+
+    def one(cx_i, cy_i):
+        return jax.lax.dynamic_slice(img, (cy_i - radius, cx_i - radius), (size, size))
+
+    return jax.vmap(one)(cx, cy)

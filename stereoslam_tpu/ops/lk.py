@@ -1,0 +1,155 @@
+"""Batched pyramidal Lucas–Kanade optical flow.
+
+TPU-native replacement for ``cv::calcOpticalFlowPyrLK`` as used by the
+reference's temporal and stereo feature tracking (reference
+src/frontend.cpp:150-153 and 355-360: 11x11 window, maxLevel 3, 30
+iterations, eps 0.01, OPTFLOW_USE_INITIAL_FLOW).
+
+Instead of OpenCV's per-point scalar loop, all N tracks advance together:
+each LK iteration is one batched (N, W*W) bilinear gather + a closed-form
+2x2 normal-equation solve per point on the VPU.  The iteration count is
+static (lax.fori_loop) with a convergence mask, so the whole tracker jits
+into a single XLA program with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereoslam_tpu.ops.image import bilinear_sample
+
+
+class FlowResult(NamedTuple):
+    points: jnp.ndarray  # (N, 2) tracked positions in the next image
+    status: jnp.ndarray  # (N,) bool — track considered successful
+    error: jnp.ndarray   # (N,) float32 mean |residual| over the window
+
+
+@functools.lru_cache(maxsize=8)
+def _window_offsets(window: int):
+    r = window // 2
+    ys, xs = jnp.mgrid[-r : r + 1, -r : r + 1]
+    return jnp.stack([xs.ravel(), ys.ravel()], axis=-1).astype(jnp.float32)  # (W*W, 2)
+
+
+def _track_level(
+    img_prev: jnp.ndarray,
+    img_next: jnp.ndarray,
+    pts_prev: jnp.ndarray,
+    flow: jnp.ndarray,
+    window: int,
+    iters: int,
+    eps: float,
+    min_eig: float = 1e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level of LK refinement.
+
+    Args:
+      pts_prev: (N, 2) template centers in img_prev coords (this level).
+      flow: (N, 2) current displacement estimate (this level).
+
+    Returns: (flow, good) — refined displacement and conditioning mask.
+    """
+    offs = _window_offsets(window)  # (K, 2)
+    grid = pts_prev[:, None, :] + offs[None]  # (N, K, 2)
+
+    T = bilinear_sample(img_prev, grid)  # (N, K)
+    # Template gradients via central differences (constant across iterations —
+    # the classic inverse-additive KLT structure matrix).
+    dx = jnp.asarray([0.5, 0.0], jnp.float32)
+    dy = jnp.asarray([0.0, 0.5], jnp.float32)
+    Ix = bilinear_sample(img_prev, grid + dx) - bilinear_sample(img_prev, grid - dx)
+    Iy = bilinear_sample(img_prev, grid + dy) - bilinear_sample(img_prev, grid - dy)
+
+    g11 = jnp.sum(Ix * Ix, axis=1)
+    g12 = jnp.sum(Ix * Iy, axis=1)
+    g22 = jnp.sum(Iy * Iy, axis=1)
+    det = g11 * g22 - g12 * g12
+    trace = g11 + g22
+    # Minimum eigenvalue of G, normalized per pixel like OpenCV's minEigThreshold.
+    min_eig_val = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4.0 * det, 0.0))) * 0.5
+    good = min_eig_val / (window * window) > min_eig
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv11 = g22 / det_safe
+    inv12 = -g12 / det_safe
+    inv22 = g11 / det_safe
+
+    def body(_, carry):
+        flow, converged = carry
+        J = bilinear_sample(img_next, grid + flow[:, None, :])  # (N, K)
+        r = J - T
+        b1 = jnp.sum(r * Ix, axis=1)
+        b2 = jnp.sum(r * Iy, axis=1)
+        dx_step = -(inv11 * b1 + inv12 * b2)
+        dy_step = -(inv12 * b1 + inv22 * b2)
+        step = jnp.stack([dx_step, dy_step], axis=-1)
+        step = jnp.where((good & ~converged)[:, None], step, 0.0)
+        new_flow = flow + step
+        new_converged = converged | (jnp.sum(step * step, axis=-1) < eps * eps)
+        return new_flow, new_converged
+
+    flow, _ = jax.lax.fori_loop(0, iters, body, (flow, jnp.zeros(flow.shape[0], bool)))
+    return flow, good
+
+
+def _final_error(img_prev, img_next, pts_prev, flow, window) -> jnp.ndarray:
+    offs = _window_offsets(window)
+    grid = pts_prev[:, None, :] + offs[None]
+    T = bilinear_sample(img_prev, grid)
+    J = bilinear_sample(img_next, grid + flow[:, None, :])
+    return jnp.mean(jnp.abs(J - T), axis=1)
+
+
+def pyramidal_lk(
+    pyr_prev: Sequence[jnp.ndarray],
+    pyr_next: Sequence[jnp.ndarray],
+    pts_prev: jnp.ndarray,
+    pts_init: jnp.ndarray,
+    window: int = 11,
+    iters: int = 30,
+    eps: float = 0.01,
+    max_error: float = 30.0,
+) -> FlowResult:
+    """Track points from ``pyr_prev`` to ``pyr_next``.
+
+    Args:
+      pyr_prev, pyr_next: power-of-two pyramids (see
+        :func:`stereoslam_tpu.ops.image.build_lk_pyramid`), finest first.
+      pts_prev: (N, 2) positions in the previous image.
+      pts_init: (N, 2) initial guesses in the next image — the reference
+        seeds stereo matching with the same position and temporal matching
+        with the map-point reprojection (frontend.cpp:134-139), i.e.
+        OPTFLOW_USE_INITIAL_FLOW semantics.
+
+    Returns: :class:`FlowResult`.
+    """
+    n_levels = len(pyr_prev)
+    top = float(2 ** (n_levels - 1))
+    flow = (pts_init - pts_prev) / top
+    good_all = jnp.ones(pts_prev.shape[0], bool)
+    for lvl in range(n_levels - 1, -1, -1):
+        scale = float(2**lvl)
+        pts_l = pts_prev / scale
+        flow, good = _track_level(
+            pyr_prev[lvl], pyr_next[lvl], pts_l, flow, window, iters, eps
+        )
+        good_all = good_all & good
+        if lvl > 0:
+            flow = flow * 2.0
+
+    pts_next = pts_prev + flow
+    h, w = pyr_next[0].shape
+    margin = window // 2
+    in_bounds = (
+        (pts_next[:, 0] >= margin)
+        & (pts_next[:, 0] < w - margin)
+        & (pts_next[:, 1] >= margin)
+        & (pts_next[:, 1] < h - margin)
+    )
+    err = _final_error(pyr_prev[0], pyr_next[0], pts_prev, flow, window)
+    status = good_all & in_bounds & (err < max_error)
+    return FlowResult(points=pts_next, status=status, error=err)
