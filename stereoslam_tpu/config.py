@@ -99,6 +99,15 @@ class TrackingConfig:
     pose_rounds: int = 4       # outlier re-classification rounds, frontend.cpp:218
     pose_iters: int = 10       # LM iterations per round
     chi2_threshold: float = 5.991
+    # Stereo triangulation quality gates (TPU-native addition: the reference
+    # triangulates every LK stereo match, frontend.cpp:451-488, which lets
+    # low-disparity matches inject landmarks with unbounded depth error).
+    stereo_min_disparity: float = 1.0   # pixels
+    stereo_max_dy: float = 1.5          # rectified epipolar violation, pixels
+    max_landmark_depth: float = 80.0    # meters
+    # Forward-backward LK consistency threshold (px) for temporal tracking;
+    # rejects ghost locks from reprojection-biased seeds. 0 disables.
+    lk_forward_backward: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -125,6 +134,11 @@ class BackendConfig:
     ba_iters: int = 10
     chi2_threshold: float = 5.991
     min_inlier_ratio: float = 0.5
+    # Pin the oldest window KF as the gauge anchor.  The reference relies
+    # solely on landmarks first-observed outside the window (backend.cpp:
+    # 175-177), which leaves the gauge free early in a run; fixing the oldest
+    # pose removes that drift without changing the converged solution.
+    fix_oldest_kf: bool = True
 
 
 @dataclass(frozen=True)

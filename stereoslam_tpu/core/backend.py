@@ -1,0 +1,119 @@
+"""Backend: sliding-window bundle adjustment over the active map.
+
+Replaces the reference backend thread (reference src/backend.cpp:74-269)
+with one jitted program: gather the active window's observations out of the
+map arrays, compact the touched landmarks, run Schur-complement LM
+(:mod:`stereoslam_tpu.ops.schur`), then scatter results back — pose/landmark
+write-back, outlier unlinking, and orphan-landmark pruning exactly mirroring
+backend.cpp:236-266.  The reference's queue/pause machinery disappears: the
+caller decides when to run BA, and the map is a value, not a shared object.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stereoslam_tpu.config import SlamConfig
+from stereoslam_tpu.core.state import MapState
+from stereoslam_tpu.ops.camera import Intrinsics
+from stereoslam_tpu.ops.schur import BAProblem, solve_window_ba
+
+
+def optimize_active_map(map_state: MapState, intr: Intrinsics, cfg: SlamConfig) -> MapState:
+    """One backend BA pass (Backend::OptimizeActiveMap, backend.cpp:126-269)."""
+    W = map_state.active_kf.shape[0]
+    N = map_state.kf_feat_valid.shape[1]
+    C = W * N  # compacted landmark capacity: cannot overflow
+
+    kf_idx = map_state.active_kf                      # (W,)
+    cam_valid = kf_idx >= 0
+    kf_safe = jnp.maximum(kf_idx, 0)
+
+    cam_T = map_state.kf_T_cw[kf_safe]                # (W, 4, 4)
+    obs_px = map_state.kf_feat_xy[kf_safe]            # (W, N, 2)
+    obs_lm_global = map_state.kf_feat_lm[kf_safe]     # (W, N)
+    obs_valid = (
+        map_state.kf_feat_valid[kf_safe]
+        & (obs_lm_global >= 0)
+        & cam_valid[:, None]
+    )
+    lm_safe = jnp.maximum(obs_lm_global, 0)
+    obs_valid = obs_valid & map_state.lm_valid[lm_safe] & ~map_state.lm_outlier[lm_safe]
+
+    # Compact the touched landmark ids into C slots.  Sentinel = capacity_lm
+    # sorts after every real id, so unique() packs real ids first.
+    L = map_state.capacity_lm
+    sentinel = jnp.int32(L)
+    ids_flat = jnp.where(obs_valid, obs_lm_global, sentinel).reshape(-1)
+    uniq = jnp.unique(ids_flat, size=C, fill_value=sentinel)  # (C,) sorted
+    slot_of_obs = jnp.searchsorted(uniq, ids_flat).reshape(W, N)
+    slot_of_obs = jnp.minimum(slot_of_obs, C - 1)
+    lm_slot_valid = uniq < sentinel
+    uniq_safe = jnp.where(lm_slot_valid, uniq, 0)
+
+    lm_pos_c = map_state.lm_pos[uniq_safe]
+    # Fixed iff first-observing KF is not in the active window
+    # (backend.cpp:175-177) — constraint-only landmarks pin the gauge.
+    first_kf = map_state.lm_first_kf[uniq_safe]       # (C,)
+    in_window = jnp.any(first_kf[:, None] == kf_idx[None, :], axis=1) & (first_kf >= 0)
+    lm_fixed = ~in_window
+
+    cam_fixed = (
+        (jnp.arange(W) == 0) & cam_valid
+        if cfg.backend.fix_oldest_kf
+        else jnp.zeros((W,), bool)
+    )
+    prob = BAProblem(
+        cam_T=cam_T,
+        cam_valid=cam_valid,
+        cam_fixed=cam_fixed,
+        lm_pos=lm_pos_c,
+        lm_valid=lm_slot_valid,
+        lm_fixed=lm_fixed,
+        obs_px=obs_px,
+        obs_lm=slot_of_obs,
+        obs_valid=obs_valid,
+    )
+    res = solve_window_ba(
+        prob,
+        intr,
+        rounds=cfg.backend.ba_rounds,
+        iters=cfg.backend.ba_iters,
+        chi2_threshold=cfg.backend.chi2_threshold,
+        huber_delta=cfg.backend.chi2_threshold,
+    )
+
+    # Masked scatters: out-of-bounds indices are dropped by JAX's default
+    # scatter mode, so invalid slots write nowhere (no duplicate-index races).
+    K = map_state.capacity_kf
+    kf_scatter = jnp.where(cam_valid, kf_idx, K)
+    # ---- write back poses (backend.cpp:256-258) ----
+    kf_T_cw = map_state.kf_T_cw.at[kf_scatter].set(res.cam_T, mode="drop")
+    # ---- write back landmark positions (backend.cpp:259-261) ----
+    moved = lm_slot_valid & ~lm_fixed
+    lm_scatter = jnp.where(moved, uniq_safe, L)
+    lm_pos = map_state.lm_pos.at[lm_scatter].set(res.lm_pos, mode="drop")
+
+    # ---- outlier handling (backend.cpp:236-251): unlink feature<->landmark ----
+    outlier_obs = obs_valid & ~res.obs_inlier
+    new_feat_lm_rows = jnp.where(outlier_obs, -1, obs_lm_global)
+    kf_feat_lm = map_state.kf_feat_lm.at[kf_scatter].set(new_feat_lm_rows, mode="drop")
+
+    # ---- orphan landmarks -> outliers (backend.cpp:243-247): a landmark with
+    # no remaining observation anywhere is dead.  Count over ALL keyframes.
+    all_lm = jnp.where(
+        map_state.kf_feat_valid & (kf_feat_lm >= 0), kf_feat_lm, L
+    ).reshape(-1)
+    obs_count = jax.ops.segment_sum(
+        jnp.ones_like(all_lm, dtype=jnp.int32), all_lm, num_segments=L + 1
+    )[:L]
+    orphan = map_state.lm_valid & (obs_count == 0)
+    lm_outlier = map_state.lm_outlier | orphan
+
+    return map_state._replace(
+        kf_T_cw=kf_T_cw,
+        lm_pos=lm_pos,
+        kf_feat_lm=kf_feat_lm,
+        lm_outlier=lm_outlier,
+    )

@@ -1,0 +1,404 @@
+"""Frontend: per-frame stereo visual odometry as pure jitted steps.
+
+Re-architecture of the reference frontend thread (reference
+src/frontend.cpp) for TPU execution.  The reference's per-frame flow —
+constant-velocity prior, LK temporal tracking with reprojection-seeded
+initial guesses, pose-only g2o optimization with 4-round chi^2 outlier
+rejection, keyframe decision, detect + stereo-match + triangulate — is
+reproduced as three pure functions over fixed-shape state:
+
+- :func:`track_step`        (frontend.cpp:86-122 Track + 127-171 TrackLastFrame
+                             + 176-276 EstimateCurrentPose)
+- :func:`stereo_init_step`  (frontend.cpp:282-295 StereoInit + 385-417 BuildInitMap)
+- :func:`make_keyframe_step`(frontend.cpp:302-328 DetectFeatures + 335-379
+                             FindFeaturesInRight + 451-488 TriangulateNewPoints
+                             + 422-446 InsertKeyFrame, plus the Map-side insert
+                             and sliding-window eviction of map.cpp:17-120)
+
+Status semantics (INITING/GOOD/BAD/LOST and the 50/10 inlier thresholds)
+match frontend.cpp:97-109.  There are no threads or locks: the keyframe path
+returns a new MapState; the caller (core/system.py) sequences or overlaps the
+independently jitted programs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereoslam_tpu.config import SlamConfig
+from stereoslam_tpu.core.state import (
+    FrontendState,
+    MapState,
+    TrackState,
+)
+from stereoslam_tpu.ops import se3
+from stereoslam_tpu.ops.camera import Intrinsics, stereo_right_pose, world2pixel
+from stereoslam_tpu.ops.fast import detect_keypoints, forbid_mask_from_points
+from stereoslam_tpu.ops.lk import pyramidal_lk
+from stereoslam_tpu.ops.lm import optimize_pose
+from stereoslam_tpu.ops.triangulate import triangulate_stereo
+
+
+class TrackOutput(NamedTuple):
+    state: FrontendState
+    num_inliers: jnp.ndarray  # () i32
+    num_tracked: jnp.ndarray  # () i32
+
+
+def _gather_lm(map_state: MapState, lm_idx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Landmark positions + usability mask for (possibly -1) indices."""
+    safe = jnp.maximum(lm_idx, 0)
+    pos = map_state.lm_pos[safe]
+    usable = (
+        (lm_idx >= 0)
+        & map_state.lm_valid[safe]
+        & ~map_state.lm_outlier[safe]
+    )
+    return pos, usable
+
+
+def track_step(
+    fs: FrontendState,
+    map_state: MapState,
+    pyr_prev: Sequence[jnp.ndarray],
+    pyr_cur: Sequence[jnp.ndarray],
+    intr: Intrinsics,
+    cfg: SlamConfig,
+) -> TrackOutput:
+    """Track the previous frame's features into the current frame and
+    estimate the current pose.  One fused jitted program; no host branches.
+    """
+    tr = fs.tracks
+    # Absolute pose of the reference keyframe — BA/loop updates flow in here.
+    T_kf = jnp.where(
+        fs.ref_kf >= 0,
+        map_state.kf_T_cw[jnp.maximum(fs.ref_kf, 0)],
+        se3.identity(),
+    )
+    # Constant-velocity prior in the KF-relative frame (frontend.cpp:89-91).
+    T_rk_pred = fs.T_vel @ fs.T_rk
+    T_pred = T_rk_pred @ T_kf
+
+    lm_pos, lm_usable = _gather_lm(map_state, tr.lm_idx)
+    has_lm = tr.valid & lm_usable
+
+    # LK initial guess: map-point reprojection under the prior for linked
+    # features, previous position otherwise (frontend.cpp:134-139).
+    reproj = world2pixel(lm_pos, T_pred, intr)
+    init_px = jnp.where(has_lm[:, None], reproj, tr.xy)
+
+    flow = pyramidal_lk(
+        pyr_prev,
+        pyr_cur,
+        tr.xy,
+        init_px,
+        window=cfg.tracking.lk_window,
+        iters=cfg.tracking.lk_iters,
+        eps=cfg.tracking.lk_eps,
+        forward_backward=cfg.tracking.lk_forward_backward,
+    )
+    # Reference keeps only tracks whose source feature had a live map point
+    # (frontend.cpp:157-166).
+    tracked = tr.valid & flow.status & has_lm
+    num_tracked = jnp.sum(tracked.astype(jnp.int32))
+
+    res = optimize_pose(
+        T_pred,
+        lm_pos,
+        flow.points,
+        tracked,
+        intr,
+        rounds=cfg.tracking.pose_rounds,
+        iters=cfg.tracking.pose_iters,
+        chi2_threshold=cfg.tracking.chi2_threshold,
+    )
+
+    # Outlier features lose their landmark link but keep their position
+    # (frontend.cpp:255-270) — they become fresh-triangulation candidates on
+    # the next keyframe.
+    new_lm_idx = jnp.where(res.inlier, tr.lm_idx, -1)
+    new_tracks = TrackState(xy=flow.points, lm_idx=new_lm_idx, valid=tracked)
+
+    # Re-orthonormalize: T_rk accumulates one compose per frame, and a
+    # rotation defect of even ~1e-4 biases reprojection by ~0.1 px (the
+    # optimizer cannot remove the defect — exp(dx) @ T preserves it — so it
+    # compensates with a wrong pose instead; this was a real failure mode).
+    T_rk_new = se3.orthonormalize(res.T_cw @ se3.inv(T_kf))
+    new_fs = FrontendState(
+        tracks=new_tracks,
+        T_rk=T_rk_new,
+        # Velocity in the KF-relative frame is KF-pose independent:
+        # T_cw_new @ inv(T_cw_prev) == T_rk_new @ inv(T_rk_prev).
+        T_vel=T_rk_new @ se3.inv(fs.T_rk),
+        ref_kf=fs.ref_kf,
+        status=fs.status,  # host updates from num_inliers
+        frame_id=fs.frame_id + 1,
+    )
+    return TrackOutput(state=new_fs, num_inliers=res.num_inliers, num_tracked=num_tracked)
+
+
+def _compact_tracks(tracks: TrackState) -> TrackState:
+    """Stable-compact valid tracks into the lowest slots (replaces the
+    reference's std::vector erase/push_back bookkeeping)."""
+    order = jnp.argsort(~tracks.valid, stable=True)
+    return TrackState(
+        xy=tracks.xy[order], lm_idx=tracks.lm_idx[order], valid=tracks.valid[order]
+    )
+
+
+def _detect_and_fill(
+    tracks: TrackState,
+    img_left: jnp.ndarray,
+    n_new: int,
+    cfg: SlamConfig,
+) -> TrackState:
+    """Detect up to ``n_new`` new keypoints away from existing tracks and
+    append them into free slots (DetectFeatures, frontend.cpp:302-328)."""
+    h, w = img_left.shape
+    forbid = forbid_mask_from_points(h, w, tracks.xy, tracks.valid, radius=10)
+    kps = detect_keypoints(
+        img_left,
+        n_new,
+        ini_threshold=cfg.features.ini_th_fast,
+        min_threshold=cfg.features.min_th_fast,
+        cell_size=cfg.features.cell_size,
+        border=cfg.features.edge_margin,
+        forbid_mask=forbid,
+    )
+    compact = _compact_tracks(tracks)
+    n_existing = jnp.sum(compact.valid.astype(jnp.int32))
+    N = compact.valid.shape[0]
+    # Scatter detection i into slot n_existing + i; masked-off writes go to an
+    # out-of-bounds index and are dropped (no duplicate-index clobbering).
+    slots = n_existing + jnp.arange(kps.valid.shape[0], dtype=jnp.int32)
+    ok = kps.valid & (slots < N)
+    slots = jnp.where(ok, slots, N)
+    xy = compact.xy.at[slots].set(kps.xy, mode="drop")
+    lm = compact.lm_idx.at[slots].set(-1, mode="drop")
+    valid = compact.valid.at[slots].set(True, mode="drop")
+    return TrackState(xy=xy, lm_idx=lm, valid=valid)
+
+
+def _stereo_and_triangulate(
+    tracks: TrackState,
+    map_state: MapState,
+    pyr_left: Sequence[jnp.ndarray],
+    pyr_right: Sequence[jnp.ndarray],
+    T_cw: jnp.ndarray,
+    intr_left: Intrinsics,
+    intr_right: Intrinsics,
+    baseline: float,
+    cfg: SlamConfig,
+    kf_id: jnp.ndarray,
+) -> Tuple[TrackState, MapState, jnp.ndarray]:
+    """LK stereo matching + triangulation of landmark-less tracks.
+
+    Mirrors FindFeaturesInRight (frontend.cpp:335-379: LK seeded at the left
+    position) and TriangulateNewPoints (451-488).  Returns updated tracks
+    (new landmark links), updated map (new landmarks), and the number of
+    newly created landmarks.
+    """
+    flow = pyramidal_lk(
+        pyr_left,
+        pyr_right,
+        tracks.xy,
+        tracks.xy,  # rectified stereo: same position is the LK seed
+        window=cfg.tracking.lk_window,
+        iters=cfg.tracking.lk_iters,
+        eps=cfg.tracking.lk_eps,
+    )
+    T_rc = stereo_right_pose(baseline) @ T_cw
+    p_w, tri_ok = triangulate_stereo(
+        tracks.xy, flow.points, T_cw, T_rc, intr_left, intr_right
+    )
+
+    # Stereo-quality gates: positive disparity above the floor, epipolar
+    # consistency, bounded depth (depth error grows ~z^2/disparity).
+    disparity = tracks.xy[:, 0] - flow.points[:, 0]
+    dy = jnp.abs(tracks.xy[:, 1] - flow.points[:, 1])
+    z_cam = se3.act(T_cw, p_w)[..., 2]
+    quality = (
+        (disparity >= cfg.tracking.stereo_min_disparity)
+        & (dy <= cfg.tracking.stereo_max_dy)
+        & (z_cam <= cfg.tracking.max_landmark_depth)
+    )
+
+    need_lm = tracks.valid & (tracks.lm_idx < 0) & flow.status & tri_ok & quality
+    # Allocate landmark slots n_lm .. n_lm+k-1 in slot order; masked-off
+    # writes target an out-of-bounds index and are dropped.
+    offsets = jnp.cumsum(need_lm.astype(jnp.int32)) - 1
+    slots = map_state.n_lm + offsets
+    L = map_state.capacity_lm
+    ok = need_lm & (slots < L)
+    slots_safe = jnp.where(ok, slots, L)
+
+    lm_pos = map_state.lm_pos.at[slots_safe].set(p_w, mode="drop")
+    lm_valid = map_state.lm_valid.at[slots_safe].set(True, mode="drop")
+    lm_first = map_state.lm_first_kf.at[slots_safe].set(kf_id, mode="drop")
+    n_new = jnp.sum(ok.astype(jnp.int32))
+
+    new_lm_idx = jnp.where(ok, slots, tracks.lm_idx)
+    new_tracks = TrackState(xy=tracks.xy, lm_idx=new_lm_idx, valid=tracks.valid)
+    new_map = map_state._replace(
+        lm_pos=lm_pos, lm_valid=lm_valid, lm_first_kf=lm_first,
+        n_lm=map_state.n_lm + n_new,
+    )
+    return new_tracks, new_map, n_new
+
+
+def _evict_active(map_state: MapState, T_cw_newest: jnp.ndarray, min_dist: float) -> MapState:
+    """Sliding-window eviction (map.cpp:78-120): when the window is full,
+    drop the nearest old KF if one is closer than ``min_dist`` to the newest,
+    else drop the farthest."""
+    W = map_state.active_kf.shape[0]
+    idx = map_state.active_kf
+    occupied = idx >= 0
+    poses = map_state.kf_T_cw[jnp.maximum(idx, 0)]
+    # Distance in SE(3) between each active KF and the newest (map.cpp:88-95
+    # uses translation-+-rotation norm of the relative transform).
+    rel = poses @ se3.inv(T_cw_newest)
+    dist = jnp.linalg.norm(se3.log(rel), axis=-1)
+    is_newest = jnp.arange(W) == (map_state.n_active - 1)
+    cand = occupied & ~is_newest
+    big = jnp.float32(1e9)
+    dist_min = jnp.where(cand, dist, big)
+    dist_max = jnp.where(cand, dist, -big)
+    near = jnp.argmin(dist_min)
+    far = jnp.argmax(dist_max)
+    evict = jnp.where(dist_min[near] < min_dist, near, far)
+
+    # Remove position `evict` and shift left (order preserved).
+    ar = jnp.arange(W)
+    src = jnp.where(ar >= evict, ar + 1, ar)
+    src = jnp.minimum(src, W - 1)
+    new_idx = idx[src].at[W - 1].set(-1)
+    return map_state._replace(active_kf=new_idx, n_active=map_state.n_active - 1)
+
+
+def insert_keyframe(
+    map_state: MapState,
+    tracks: TrackState,
+    T_cw: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    cfg: SlamConfig,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Write the KF row, link to the previous KF, maintain the active window
+    (Map::InsertKeyFrame, map.cpp:17-48 + KeyFrame::CreateKF keyframe.cpp:34-50).
+
+    Returns (new_map, kf_id).
+    """
+    kf_id = map_state.n_kf
+    prev_id = kf_id - 1
+    prev_pose = map_state.kf_T_cw[jnp.maximum(prev_id, 0)]
+    rel_prev = T_cw @ se3.inv(prev_pose)
+
+    m = map_state._replace(
+        kf_T_cw=map_state.kf_T_cw.at[kf_id].set(T_cw),
+        kf_timestamp=map_state.kf_timestamp.at[kf_id].set(timestamp),
+        kf_frame_id=map_state.kf_frame_id.at[kf_id].set(frame_id),
+        kf_valid=map_state.kf_valid.at[kf_id].set(True),
+        kf_feat_xy=map_state.kf_feat_xy.at[kf_id].set(tracks.xy),
+        kf_feat_lm=map_state.kf_feat_lm.at[kf_id].set(
+            jnp.where(tracks.valid, tracks.lm_idx, -1)
+        ),
+        kf_feat_valid=map_state.kf_feat_valid.at[kf_id].set(tracks.valid),
+        kf_prev=map_state.kf_prev.at[kf_id].set(prev_id),
+        kf_rel_prev=map_state.kf_rel_prev.at[kf_id].set(rel_prev),
+        n_kf=map_state.n_kf + 1,
+    )
+
+    # Append to the active window.
+    W = m.active_kf.shape[0]
+    full = m.n_active >= W
+    # If full we will evict after appending — first make room by shifting if
+    # needed.  Simpler: append when not full; else evict-then-append.
+    def append(mm: MapState) -> MapState:
+        return mm._replace(
+            active_kf=mm.active_kf.at[mm.n_active].set(kf_id),
+            n_active=mm.n_active + 1,
+        )
+
+    def evict_then_append(mm: MapState) -> MapState:
+        mm = _evict_active(mm, T_cw, cfg.map.min_kf_distance)
+        return append(mm)
+
+    m = jax.lax.cond(full, evict_then_append, append, m)
+    return m, kf_id
+
+
+def stereo_init_step(
+    img_left: jnp.ndarray,
+    pyr_left: Sequence[jnp.ndarray],
+    pyr_right: Sequence[jnp.ndarray],
+    fs: FrontendState,
+    map_state: MapState,
+    intr_left: Intrinsics,
+    intr_right: Intrinsics,
+    baseline: float,
+    timestamp: jnp.ndarray,
+    cfg: SlamConfig,
+) -> Tuple[FrontendState, MapState, jnp.ndarray, jnp.ndarray]:
+    """StereoInit (frontend.cpp:282-295): detect, stereo-match, build the
+    initial map at the identity pose, insert KF 0.
+
+    Returns (fs, map, kf_id, n_landmarks) — the host promotes status to
+    TRACKING_GOOD when n_landmarks >= num_features_init_good.
+    """
+    empty = TrackState(
+        xy=jnp.zeros_like(fs.tracks.xy),
+        lm_idx=jnp.full_like(fs.tracks.lm_idx, -1),
+        valid=jnp.zeros_like(fs.tracks.valid),
+    )
+    T_cw = se3.identity()  # the initial frame defines the world frame
+    tracks = _detect_and_fill(empty, img_left, cfg.features.n_init_features, cfg)
+    kf_id = map_state.n_kf
+    tracks, map_state, n_new = _stereo_and_triangulate(
+        tracks, map_state, pyr_left, pyr_right, T_cw,
+        intr_left, intr_right, baseline, cfg, kf_id,
+    )
+    map_state, kf_id = insert_keyframe(
+        map_state, tracks, T_cw, timestamp, fs.frame_id, cfg
+    )
+    new_fs = fs._replace(tracks=tracks, ref_kf=kf_id, T_rk=se3.identity())
+    return new_fs, map_state, kf_id, n_new
+
+
+def make_keyframe_step(
+    img_left: jnp.ndarray,
+    pyr_left: Sequence[jnp.ndarray],
+    pyr_right: Sequence[jnp.ndarray],
+    fs: FrontendState,
+    map_state: MapState,
+    intr_left: Intrinsics,
+    intr_right: Intrinsics,
+    baseline: float,
+    timestamp: jnp.ndarray,
+    cfg: SlamConfig,
+) -> Tuple[FrontendState, MapState, jnp.ndarray]:
+    """The tracking-got-weak keyframe path (frontend.cpp:111-119):
+    detect new features, stereo-match, triangulate, insert the KF.
+
+    Returns (fs, map, kf_id).
+    """
+    T_kf = jnp.where(
+        fs.ref_kf >= 0,
+        map_state.kf_T_cw[jnp.maximum(fs.ref_kf, 0)],
+        se3.identity(),
+    )
+    T_cw = fs.T_rk @ T_kf
+    tracks = _detect_and_fill(fs.tracks, img_left, cfg.features.n_new_features, cfg)
+    kf_id = map_state.n_kf
+    tracks, map_state, _ = _stereo_and_triangulate(
+        tracks, map_state, pyr_left, pyr_right, T_cw,
+        intr_left, intr_right, baseline, cfg, kf_id,
+    )
+    map_state, kf_id = insert_keyframe(
+        map_state, tracks, T_cw, timestamp, fs.frame_id, cfg
+    )
+    # The new keyframe becomes the reference anchor (frontend.cpp:433-435).
+    new_fs = fs._replace(tracks=tracks, ref_kf=kf_id, T_rk=se3.identity())
+    return new_fs, map_state, kf_id

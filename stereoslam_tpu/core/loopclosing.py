@@ -1,0 +1,447 @@
+"""Deep loop closing: descriptor extraction, detection, verification,
+correction, and global pose-graph optimization.
+
+Re-architecture of the reference loop-closing thread (reference
+src/loopclosing.cpp) as four jitted stages driven by the host:
+
+1. process_keyframe  — DeepLCD-style whole-image descriptor + pyramid-
+   expanded ORB descriptors for the new KF (loopclosing.cpp:83-121).
+2. detect            — dot-product scan over the KF database with the
+   0.94/0.92/max-3-suspects/20-id-gap rules (loopclosing.cpp:124-161).
+3. match_and_verify  — brute-force Hamming matching with class-id dedup
+   (167-203), PnP-RANSAC + pose-only refinement (208-433), loop-edge
+   registration.
+4. correct           — active-map rigid re-alignment + landmark merge
+   (466-533) and global pose-graph optimization with landmark re-anchoring
+   (537-646).
+
+The reference's backend-pause protocol (445-459) disappears: stages are
+values-in/values-out; the caller orders them.  The 5-KF insertion cooldown
+(671-680) is enforced by the host on scalar state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereoslam_tpu.config import SlamConfig
+from stereoslam_tpu.core.state import LoopState, MapState
+from stereoslam_tpu.models import calc
+from stereoslam_tpu.ops import se3
+from stereoslam_tpu.ops.brief import brief_descriptors
+from stereoslam_tpu.ops.camera import Intrinsics
+from stereoslam_tpu.ops.fast import fast_response
+from stereoslam_tpu.ops.hamming import match_descriptors
+from stereoslam_tpu.ops.image import build_pyramid, gaussian_blur
+from stereoslam_tpu.ops.lm import optimize_pose
+from stereoslam_tpu.ops.orient import ic_angles
+from stereoslam_tpu.ops.pgo import PoseGraph, optimize_pose_graph
+from stereoslam_tpu.ops.pnp import pnp_ransac
+
+
+class DetectResult(NamedTuple):
+    found: jnp.ndarray     # () bool
+    loop_kf: jnp.ndarray   # () int32
+    max_score: jnp.ndarray  # () float32
+
+
+class VerifyResult(NamedTuple):
+    verified: jnp.ndarray       # () bool — loop confirmed (sets cooldown)
+    need_correct: jnp.ndarray   # () bool — pose error > threshold
+    T_corrected: jnp.ndarray    # (4, 4) corrected current-KF pose
+    match_loop_feat: jnp.ndarray  # (N,) int32 — per current-feature slot, matched loop feature or -1
+    num_inliers: jnp.ndarray    # () int32
+
+
+def _pyramid_orb(img: jnp.ndarray, feat_xy: jnp.ndarray, feat_valid: jnp.ndarray, cfg: SlamConfig):
+    """Pyramid-expanded ORB descriptors for one keyframe's features.
+
+    The reference clones each frontend feature to every pyramid level with
+    ``class_id = feature index`` (loopclosing.cpp:94-105), screens each clone
+    for FAST cornerness + borders at its level (ScreenAndComputeKPsParams,
+    ORBextractor.cpp:1083-1129), then computes oriented BRIEF per clone
+    (CalcDescriptors, 1180-1226).  Here each level is processed as one
+    batch: response maps and blurs are computed once per level, clones are
+    gathered together.
+
+    Returns (desc (M, 8) u32, xy0 (M, 2) level-0 coords, cls (M,), valid (M,)).
+    """
+    n_levels = cfg.features.n_levels
+    scale = cfg.features.scale_factor
+    pyr = build_pyramid(img, n_levels, scale)
+    N = feat_xy.shape[0]
+
+    descs, xys, clss, valids = [], [], [], []
+    cls_ids = jnp.arange(N, dtype=jnp.int32)
+    for lvl in range(n_levels):
+        level_img = pyr[lvl]
+        s = scale**lvl
+        xy_l = feat_xy / s
+        h, w = level_img.shape
+        margin = 20.0
+        in_border = (
+            (xy_l[:, 0] >= margin)
+            & (xy_l[:, 0] < w - margin)
+            & (xy_l[:, 1] >= margin)
+            & (xy_l[:, 1] < h - margin)
+        )
+        corner_mask, _ = fast_response(level_img, float(cfg.features.min_th_fast))
+        xi = jnp.clip(jnp.round(xy_l[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(xy_l[:, 1]).astype(jnp.int32), 0, h - 1)
+        is_corner = corner_mask[yi, xi]
+        ok = feat_valid & in_border & is_corner
+
+        blurred = gaussian_blur(level_img)
+        ang = ic_angles(level_img, xy_l)
+        d = brief_descriptors(blurred, xy_l, ang)
+        descs.append(d)
+        xys.append(feat_xy)  # store level-0 coordinates for PnP
+        clss.append(cls_ids)
+        valids.append(ok)
+
+    return (
+        jnp.concatenate(descs, axis=0),
+        jnp.concatenate(xys, axis=0),
+        jnp.concatenate(clss, axis=0),
+        jnp.concatenate(valids, axis=0),
+    )
+
+
+class LoopCloser:
+    """Host-side driver owning the jitted loop-closing stages."""
+
+    def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None):
+        self.cfg = cfg
+        self.intr = intr
+        self.model = calc.DescriptorModel(descriptor_params)
+        self._key = jax.random.PRNGKey(7)
+
+        self._jit_process = jax.jit(self._process_impl)
+        self._jit_detect = jax.jit(self._detect_impl)
+        self._jit_verify = jax.jit(self._verify_impl)
+        self._jit_correct = jax.jit(self._correct_impl)
+        self._jit_remap = jax.jit(lambda lm_idx, remap: jnp.where(lm_idx >= 0, remap[jnp.maximum(lm_idx, 0)], lm_idx))
+
+    # ------------------------------------------------------------------
+    def _process_impl(self, map_state: MapState, loop: LoopState, img, kf_id):
+        deep = self.model(img)
+        desc, xy, cls, valid = _pyramid_orb(
+            img,
+            map_state.kf_feat_xy[kf_id],
+            map_state.kf_feat_valid[kf_id],
+            self.cfg,
+        )
+        return loop._replace(
+            deep_db=loop.deep_db.at[kf_id].set(deep),
+            orb_desc=loop.orb_desc.at[kf_id].set(desc),
+            orb_xy=loop.orb_xy.at[kf_id].set(xy),
+            orb_class=loop.orb_class.at[kf_id].set(cls),
+            orb_valid=loop.orb_valid.at[kf_id].set(valid),
+        )
+
+    def process_keyframe(self, map_state, loop, img, pyr_left, kf_id) -> LoopState:
+        """Descriptor extraction for a new KF (ProcessNewKF).  The 5-KF
+        cooldown after a closed loop skips processing entirely
+        (loopclosing.cpp:674-679)."""
+        if int(kf_id) - int(loop.last_closed_kf) <= self.cfg.loop.insertion_cooldown:
+            return loop
+        return self._jit_process(map_state, loop, img, kf_id)
+
+    # ------------------------------------------------------------------
+    def _detect_impl(self, loop: LoopState, kf_id):
+        cfg = self.cfg.loop
+        d = loop.deep_db[kf_id]
+        scores = loop.deep_db @ d  # (K,) one matmul — the whole linear scan
+        ids = jnp.arange(scores.shape[0], dtype=jnp.int32)
+        eligible = loop.db_valid & ((kf_id - ids) >= cfg.id_gap)
+        scores = jnp.where(eligible, scores, -1.0)
+        best = jnp.argmax(scores).astype(jnp.int32)
+        max_score = scores[best]
+        n_suspect = jnp.sum((scores > cfg.similarity_low).astype(jnp.int32))
+        found = (max_score >= cfg.similarity_high) & (n_suspect <= cfg.max_above_low)
+        return DetectResult(found=found, loop_kf=best, max_score=max_score)
+
+    # ------------------------------------------------------------------
+    def _verify_impl(self, map_state: MapState, loop: LoopState, kf_id, loop_kf, key):
+        cfg = self.cfg
+        N = cfg.features.max_features
+        # Match loop-KF descriptors (query) against current-KF descriptors
+        # (train), as in loopclosing.cpp:172.
+        m = match_descriptors(
+            loop.orb_desc[loop_kf],
+            loop.orb_valid[loop_kf],
+            loop.orb_desc[kf_id],
+            loop.orb_valid[kf_id],
+            loop.orb_class[loop_kf],
+            loop.orb_class[kf_id],
+            max_features=N,
+        )
+        # For each accepted loop-side match: (loop_feat, cur_feat) pair.
+        loop_feat_of_match = loop.orb_class[loop_kf]                 # (M,)
+        cur_feat_of_match = loop.orb_class[kf_id][m.best_idx]        # (M,)
+
+        # Reduce to per-current-feature pairing (a set keyed by feature ids,
+        # loopclosing.cpp:184-193): keep the best-distance pair per current
+        # feature slot.
+        BIG = jnp.int32(1 << 20)
+        cur_slot = jnp.where(m.accepted, cur_feat_of_match, N)
+        best_per_cur = jax.ops.segment_min(
+            jnp.where(m.accepted, m.best_dist, BIG), cur_slot, num_segments=N + 1
+        )[:N]
+        M_len = m.accepted.shape[0]
+        midx = jnp.arange(M_len, dtype=jnp.int32)
+        first_match = jax.ops.segment_min(
+            jnp.where(
+                m.accepted & (m.best_dist <= best_per_cur[jnp.minimum(cur_feat_of_match, N - 1)]),
+                midx,
+                M_len,
+            ),
+            cur_slot,
+            num_segments=N + 1,
+        )[:N]
+        has_match = first_match < M_len
+        match_loop_feat = jnp.where(
+            has_match, loop_feat_of_match[jnp.minimum(first_match, M_len - 1)], -1
+        )  # (N,) per current-feature slot
+
+        # Loop feature must carry a landmark (loopclosing.cpp:218-237).
+        loop_lm = map_state.kf_feat_lm[loop_kf]                      # (N,)
+        lm_of_pair = jnp.where(
+            match_loop_feat >= 0, loop_lm[jnp.maximum(match_loop_feat, 0)], -1
+        )
+        lm_ok = (
+            (lm_of_pair >= 0)
+            & map_state.lm_valid[jnp.maximum(lm_of_pair, 0)]
+            & ~map_state.lm_outlier[jnp.maximum(lm_of_pair, 0)]
+        )
+        pair_ok = has_match & lm_ok
+        n_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+
+        X = map_state.lm_pos[jnp.maximum(lm_of_pair, 0)]             # (N, 3)
+        px = map_state.kf_feat_xy[kf_id]                             # (N, 2)
+
+        pnp = pnp_ransac(
+            X, px, pair_ok, self.intr, key,
+            iterations=cfg.loop.pnp_ransac_iters,
+            chi2_threshold=cfg.loop.pnp_ransac_threshold,
+        )
+        # Pose-only refinement from the RANSAC pose over RANSAC inliers
+        # (OptimizeCurrentPose, loopclosing.cpp:339-433).
+        refined = optimize_pose(
+            pnp.T_cw, X, px, pnp.inliers, self.intr,
+            rounds=cfg.tracking.pose_rounds,
+            iters=cfg.tracking.pose_iters,
+            chi2_threshold=cfg.tracking.chi2_threshold,
+        )
+        enough = (n_pairs >= cfg.loop.min_matches) & pnp.ok & (
+            refined.num_inliers >= cfg.loop.min_inliers
+        )
+        T_cur = map_state.kf_T_cw[kf_id]
+        pose_err = jnp.linalg.norm(se3.log(T_cur @ se3.inv(refined.T_cw)))
+        need_correct = enough & (pose_err > cfg.loop.correction_threshold)
+
+        # Register the loop edge on verification (loopclosing.cpp:328-330).
+        T_loop = map_state.kf_T_cw[loop_kf]
+        rel = refined.T_cw @ se3.inv(T_loop)
+        map_out = map_state._replace(
+            kf_loop=map_state.kf_loop.at[kf_id].set(
+                jnp.where(enough, loop_kf, map_state.kf_loop[kf_id])
+            ),
+            kf_rel_loop=map_state.kf_rel_loop.at[kf_id].set(
+                jnp.where(enough, rel, map_state.kf_rel_loop[kf_id])
+            ),
+        )
+        # Only keep match pairs that were pose-inliers for the fusion step.
+        match_final = jnp.where(refined.inlier & pair_ok, match_loop_feat, -1)
+        return (
+            VerifyResult(
+                verified=enough,
+                need_correct=need_correct,
+                T_corrected=refined.T_cw,
+                match_loop_feat=match_final,
+                num_inliers=refined.num_inliers,
+            ),
+            map_out,
+        )
+
+    # ------------------------------------------------------------------
+    def _correct_impl(
+        self,
+        map_state: MapState,
+        loop: LoopState,
+        kf_id,
+        loop_kf,
+        T_corrected,
+        match_loop_feat,
+    ):
+        """LoopLocalFusion + PoseGraphOptimization (loopclosing.cpp:466-646)."""
+        cfg = self.cfg
+        K = map_state.capacity_kf
+        L = map_state.capacity_lm
+        W, N = map_state.active_kf.shape[0], map_state.kf_feat_valid.shape[1]
+
+        # ---- 1. rigid re-alignment of active KFs (loopclosing.cpp:471-483)
+        active = map_state.active_kf                 # (W,)
+        act_valid = active >= 0
+        act_safe = jnp.maximum(active, 0)
+        T_act = map_state.kf_T_cw[act_safe]
+        T_cur = map_state.kf_T_cw[kf_id]
+        T_ac = T_act @ se3.inv(T_cur)                # relative to current
+        T_act_corrected = T_ac @ T_corrected
+        is_cur = active == kf_id
+        T_act_corrected = jnp.where(is_cur[:, None, None], T_corrected, T_act_corrected)
+
+        # ---- 2. move active landmarks with their first active observer
+        # (loopclosing.cpp:486-502)
+        flat_lm = jnp.where(
+            map_state.kf_feat_valid[act_safe]
+            & (map_state.kf_feat_lm[act_safe] >= 0)
+            & act_valid[:, None],
+            map_state.kf_feat_lm[act_safe],
+            L,
+        )  # (W, N)
+        # Observer = smallest window slot observing the landmark.
+        w_slot = jnp.broadcast_to(jnp.arange(W)[:, None], (W, N))
+        obs_slot = jax.ops.segment_min(
+            w_slot.reshape(-1), flat_lm.reshape(-1), num_segments=L + 1
+        )[:L]  # (L,) W if unobserved in window
+        lm_active = obs_slot < W
+        slot_safe = jnp.minimum(obs_slot, W - 1)
+        T_obs_old = T_act[slot_safe]                 # (L, 4, 4)
+        T_obs_new = T_act_corrected[slot_safe]
+        p_cam = se3.act(T_obs_old, map_state.lm_pos)
+        p_new = se3.act(se3.inv(T_obs_new), p_cam)
+        lm_pos = jnp.where(
+            (lm_active & map_state.lm_valid)[:, None], p_new, map_state.lm_pos
+        )
+
+        # ---- 3. write corrected active poses
+        kf_T_cw = map_state.kf_T_cw.at[
+            jnp.where(act_valid, active, K)
+        ].set(T_act_corrected, mode="drop")
+
+        # ---- 4. landmark merge: current KF's matched features adopt the loop
+        # landmark; the duplicate landmark is removed and every reference to
+        # it is redirected (loopclosing.cpp:510-532) via a remap table.
+        cur_lm_row = map_state.kf_feat_lm[kf_id]     # (N,)
+        loop_lm_row = map_state.kf_feat_lm[loop_kf]
+        pair = match_loop_feat                        # (N,) loop feat or -1
+        loop_lm_of_pair = jnp.where(pair >= 0, loop_lm_row[jnp.maximum(pair, 0)], -1)
+        merge = (
+            (pair >= 0)
+            & (loop_lm_of_pair >= 0)
+            & map_state.lm_valid[jnp.maximum(loop_lm_of_pair, 0)]
+        )
+        dup_lm = jnp.where(merge & (cur_lm_row >= 0), cur_lm_row, -1)  # to remove
+        remap = jnp.arange(L, dtype=jnp.int32)
+        remap = remap.at[jnp.where(dup_lm >= 0, dup_lm, L)].set(
+            jnp.where(merge, loop_lm_of_pair, -1), mode="drop"
+        )
+        # Features of the current KF with no landmark adopt the loop landmark
+        # directly (loopclosing.cpp:528-529).
+        adopted = jnp.where(
+            merge & (cur_lm_row < 0), loop_lm_of_pair, cur_lm_row
+        )
+        kf_feat_lm = map_state.kf_feat_lm.at[kf_id].set(adopted)
+        # Apply the remap everywhere (one gather over the whole table).
+        kf_feat_lm = jnp.where(kf_feat_lm >= 0, remap[jnp.maximum(kf_feat_lm, 0)], kf_feat_lm)
+        lm_valid = map_state.lm_valid.at[jnp.where(dup_lm >= 0, dup_lm, L)].set(
+            False, mode="drop"
+        )
+
+        m1 = map_state._replace(
+            kf_T_cw=kf_T_cw, lm_pos=lm_pos, kf_feat_lm=kf_feat_lm, lm_valid=lm_valid
+        )
+
+        # ---- 5. global pose-graph optimization (loopclosing.cpp:537-646)
+        kf_ids = jnp.arange(K, dtype=jnp.int32)
+        in_window = jnp.any(kf_ids[:, None] == active[None, :], axis=1) & map_state.kf_valid
+        fixed = in_window | (kf_ids == loop_kf) | (kf_ids == 0)
+
+        # Sequential + loop edges, fixed-shape 2K edge list.
+        seq_valid = m1.kf_valid & (m1.kf_prev >= 0)
+        loop_valid = m1.kf_valid & (m1.kf_loop >= 0)
+        edge_i = jnp.concatenate([kf_ids, kf_ids])
+        edge_j = jnp.concatenate(
+            [jnp.maximum(m1.kf_prev, 0), jnp.maximum(m1.kf_loop, 0)]
+        )
+        edge_meas = jnp.concatenate([m1.kf_rel_prev, m1.kf_rel_loop], axis=0)
+        edge_valid = jnp.concatenate([seq_valid, loop_valid])
+
+        graph = PoseGraph(
+            poses=m1.kf_T_cw,
+            vertex_valid=m1.kf_valid,
+            fixed=fixed,
+            edge_i=edge_i,
+            edge_j=edge_j,
+            edge_meas=edge_meas,
+            edge_valid=edge_valid,
+        )
+        poses_opt = optimize_pose_graph(graph, gn_iters=self.cfg.backend.ba_iters * 2)
+
+        # ---- 6. re-anchor non-active landmarks to their first observer
+        # (loopclosing.cpp:617-637)
+        first = m1.lm_first_kf
+        first_safe = jnp.maximum(first, 0)
+        T_first_old = m1.kf_T_cw[first_safe]
+        T_first_new = poses_opt[first_safe]
+        p_cam2 = se3.act(T_first_old, m1.lm_pos)
+        p_re = se3.act(se3.inv(T_first_new), p_cam2)
+        re_mask = m1.lm_valid & (first >= 0) & ~lm_active
+        lm_pos2 = jnp.where(re_mask[:, None], p_re, m1.lm_pos)
+
+        m2 = m1._replace(kf_T_cw=poses_opt, lm_pos=lm_pos2)
+        loop_out = loop._replace(last_closed_kf=kf_id)
+        return m2, loop_out, remap
+
+    # ------------------------------------------------------------------
+    def detect_and_correct(
+        self, map_state: MapState, loop: LoopState, kf_id
+    ) -> Tuple[MapState, LoopState, bool, int]:
+        """Run detection → verification → correction for keyframe ``kf_id``.
+
+        Returns (map, loop, closed, loop_kf_id).  Mirrors the control flow of
+        LoopClosingRun (loopclosing.cpp:52-80) with host branches on scalars.
+        """
+        cfg = self.cfg.loop
+        if int(kf_id) - int(loop.last_closed_kf) <= cfg.insertion_cooldown:
+            return map_state, loop, False, -1
+
+        db_size = int(jnp.sum(loop.db_valid.astype(jnp.int32)))
+        if db_size <= cfg.database_min_size:
+            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
+            return map_state, loop, False, -1
+
+        det = self._jit_detect(loop, kf_id)
+        if not bool(det.found):
+            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
+            return map_state, loop, False, -1
+
+        self._key, sub = jax.random.split(self._key)
+        verify, map_state = self._jit_verify(map_state, loop, kf_id, det.loop_kf, sub)
+        if not bool(verify.verified):
+            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
+            return map_state, loop, False, -1
+
+        # Confirmed: cooldown starts now even if correction is skipped
+        # (ComputeCorrectPose sets _mpLastClosedKF on success, loopclosing.cpp:331).
+        loop = loop._replace(last_closed_kf=kf_id)
+        if bool(verify.need_correct):
+            map_state, loop, remap = self._jit_correct(
+                map_state, loop, kf_id, det.loop_kf,
+                verify.T_corrected, verify.match_loop_feat,
+            )
+            self._last_remap = remap
+        else:
+            self._last_remap = None
+        return map_state, loop, True, int(det.loop_kf)
+
+    def remap_tracks(self, lm_idx: jnp.ndarray) -> jnp.ndarray:
+        """Apply the last correction's landmark merge to frontend tracks."""
+        if getattr(self, "_last_remap", None) is None:
+            return lm_idx
+        return self._jit_remap(lm_idx, self._last_remap)

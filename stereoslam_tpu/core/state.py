@@ -36,12 +36,19 @@ class TrackState(NamedTuple):
 
 
 class FrontendState(NamedTuple):
-    """Everything the tracking loop carries frame to frame."""
+    """Everything the tracking loop carries frame to frame.
+
+    The frame pose is stored RELATIVE to the reference keyframe
+    (``T_cw = T_rk @ kf_T_cw[ref_kf]``), exactly like the reference's
+    ``Frame::mRelativePose`` anchoring (frame.h:41-47, frontend.cpp:54):
+    when the backend or loop closer rewrites keyframe poses, the frontend's
+    absolute pose follows automatically — no locks, no re-anchoring step.
+    """
 
     tracks: TrackState
-    T_cw: jnp.ndarray         # (4, 4) current frame pose (world -> camera)
-    T_rel: jnp.ndarray        # (4, 4) constant-velocity model: T_cw = T_rel @ T_cw_prev
-    ref_kf: jnp.ndarray       # () i32 — reference keyframe id (frame.h:44 relative-pose anchor)
+    T_rk: jnp.ndarray         # (4, 4) pose relative to the reference KF
+    T_vel: jnp.ndarray        # (4, 4) constant-velocity model: T_rk' = T_vel @ T_rk
+    ref_kf: jnp.ndarray       # () i32 — reference keyframe id (frame.h:44)
     status: jnp.ndarray       # () i32 — INITING/GOOD/BAD/LOST
     frame_id: jnp.ndarray     # () i32
 
@@ -107,8 +114,8 @@ def init_track_state(cfg: SlamConfig) -> TrackState:
 def init_frontend_state(cfg: SlamConfig) -> FrontendState:
     return FrontendState(
         tracks=init_track_state(cfg),
-        T_cw=se3.identity(),
-        T_rel=se3.identity(),
+        T_rk=se3.identity(),
+        T_vel=se3.identity(),
         ref_kf=jnp.int32(-1),
         status=jnp.int32(INITING),
         frame_id=jnp.int32(0),

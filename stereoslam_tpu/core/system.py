@@ -1,0 +1,226 @@
+"""System facade: construction, per-frame stepping, and result export.
+
+The TPU-native counterpart of the reference ``System`` class (reference
+src/system.cpp:18-97: Init wires components and spawns threads; RunStep
+feeds the frontend; SaveTrajectory/SaveLoopEdges dump results).  Here there
+are no threads: the facade owns the state pytrees and a set of
+independently-jitted programs (track / stereo-init / make-keyframe /
+bundle-adjust / loop-close).  JAX's async dispatch provides the pipeline
+overlap the reference gets from pthreads: the host enqueues device programs
+and only synchronizes on the few scalars that drive control flow
+(inlier counts, loop-detection verdicts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereoslam_tpu.config import SlamConfig
+from stereoslam_tpu.core import backend as backend_mod
+from stereoslam_tpu.core import frontend as frontend_mod
+from stereoslam_tpu.core import loopclosing as loop_mod
+from stereoslam_tpu.core.state import (
+    INITING,
+    LOST,
+    TRACKING_BAD,
+    TRACKING_GOOD,
+    init_all,
+)
+from stereoslam_tpu.ops import se3
+from stereoslam_tpu.ops.camera import Intrinsics
+from stereoslam_tpu.ops.image import build_lk_pyramid
+from stereoslam_tpu.utils import trajectory as traj_io
+
+log = logging.getLogger(__name__)
+
+
+class StereoSlam:
+    """End-to-end stereo SLAM pipeline.
+
+    Usage::
+
+        slam = StereoSlam(cfg)
+        for left, right, ts in frames:
+            ok = slam.process_frame(left, right, ts)
+            if not ok:
+                break
+        slam.save_trajectory("trajectory.txt")
+    """
+
+    def __init__(self, cfg: SlamConfig, enable_backend: bool = True, enable_loop: bool = True):
+        cfg.validate()
+        self.cfg = cfg
+        self.enable_backend = enable_backend
+        self.enable_loop = enable_loop
+        cam = cfg.camera
+        self.intr_left = Intrinsics.create(cam.fx, cam.fy, cam.cx, cam.cy)
+        self.intr_right = Intrinsics.create(cam.fx_right, cam.fy_right, cam.cx_right, cam.cy_right)
+        self.baseline = cam.baseline
+
+        self.fs, self.map, self.loop = init_all(cfg)
+        self._pyr_prev = None
+        self._frame_count = 0
+        self._loop_edges: List[Tuple[int, int]] = []
+        self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
+
+        lk_levels = cfg.tracking.lk_levels
+        self._jit_pyr = jax.jit(partial(build_lk_pyramid, n_levels=lk_levels))
+        self._jit_track = jax.jit(
+            partial(
+                frontend_mod.track_step,
+                intr=self.intr_left,
+                cfg=cfg,
+            )
+        )
+        self._jit_stereo_init = jax.jit(
+            partial(
+                frontend_mod.stereo_init_step,
+                intr_left=self.intr_left,
+                intr_right=self.intr_right,
+                baseline=self.baseline,
+                cfg=cfg,
+            )
+        )
+        self._jit_make_kf = jax.jit(
+            partial(
+                frontend_mod.make_keyframe_step,
+                intr_left=self.intr_left,
+                intr_right=self.intr_right,
+                baseline=self.baseline,
+                cfg=cfg,
+            )
+        )
+        if enable_backend:
+            self._jit_ba = jax.jit(
+                partial(backend_mod.optimize_active_map, intr=self.intr_left, cfg=cfg)
+            )
+        if enable_loop:
+            self._loop_closer = loop_mod.LoopCloser(cfg, self.intr_left)
+
+    # ------------------------------------------------------------------
+    def process_frame(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> bool:
+        """Track one stereo frame (System::RunStep, system.cpp:92-97).
+
+        Returns False once tracking is LOST (the reference quits then,
+        frontend.cpp:64-67 — relocalization is an explicit non-goal there).
+        """
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
+        ts = jnp.float32(timestamp)
+        pyr_left = self._jit_pyr(left)
+
+        status = int(self.fs.status)
+        if status == LOST:
+            return False
+
+        if status == INITING:
+            pyr_right = self._jit_pyr(right)
+            fs, m, kf_id, n_lm = self._jit_stereo_init(
+                left, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
+            )
+            if int(n_lm) >= self.cfg.features.num_features_init_good:
+                self.fs = fs._replace(status=jnp.int32(TRACKING_GOOD))
+                self.map = m
+                self._after_keyframe(left, pyr_left, int(kf_id))
+                log.info("stereo init: %d landmarks, KF %d", int(n_lm), int(kf_id))
+            else:
+                # Init failed — stay INITING, try next frame (frontend.cpp:64).
+                log.info("stereo init failed: only %d landmarks", int(n_lm))
+            self._pyr_prev = pyr_left
+            self._frame_count += 1
+            return True
+
+        out = self._jit_track(self.fs, self.map, self._pyr_prev, pyr_left)
+        n_inliers = int(out.num_inliers)
+        self.metrics["num_inliers"].append(n_inliers)
+        self.metrics["num_tracked"].append(int(out.num_tracked))
+        fs = out.state
+
+        f = self.cfg.features
+        if n_inliers > f.num_features_tracking_good:
+            new_status = TRACKING_GOOD
+        elif n_inliers > f.num_features_tracking_bad:
+            new_status = TRACKING_BAD
+        else:
+            new_status = LOST
+        self.fs = fs._replace(status=jnp.int32(new_status))
+
+        if new_status == LOST:
+            log.warning("tracking LOST at frame %d (%d inliers)", self._frame_count, n_inliers)
+            self._pyr_prev = pyr_left
+            self._frame_count += 1
+            return False
+
+        if new_status == TRACKING_BAD:
+            # Tracking got weak -> new keyframe (frontend.cpp:111-119).
+            pyr_right = self._jit_pyr(right)
+            self.fs, self.map, kf_id = self._jit_make_kf(
+                left, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
+            )
+            self._after_keyframe(left, pyr_left, int(kf_id))
+
+        self._pyr_prev = pyr_left
+        self._frame_count += 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _after_keyframe(self, left, pyr_left, kf_id: int) -> None:
+        """Backend BA + loop closing for a freshly inserted keyframe —
+        the work the reference's backend/loop threads do (backend.cpp:74-103,
+        loopclosing.cpp:52-80)."""
+        if self.enable_loop:
+            self.loop = self._loop_closer.process_keyframe(
+                self.map, self.loop, left, pyr_left, jnp.int32(kf_id)
+            )
+        if self.enable_backend:
+            self.map = self._jit_ba(self.map)
+        if self.enable_loop:
+            self.map, self.loop, closed, loop_kf = self._loop_closer.detect_and_correct(
+                self.map, self.loop, jnp.int32(kf_id)
+            )
+            if closed:
+                self._loop_edges.append((kf_id, int(loop_kf)))
+                # The frontend pose is KF-relative, so the corrected KF pose
+                # propagates automatically; only the landmark-merge remap
+                # needs applying to live tracks (the reference gets this via
+                # shared mappoint pointers, loopclosing.cpp:521-529).
+                tracks = self.fs.tracks._replace(
+                    lm_idx=self._loop_closer.remap_tracks(self.fs.tracks.lm_idx)
+                )
+                self.fs = self.fs._replace(tracks=tracks)
+                log.info("loop closed: KF %d -> KF %d", kf_id, int(loop_kf))
+
+    # ------------------------------------------------------------------
+    def current_pose(self) -> np.ndarray:
+        """Absolute T_cw of the latest tracked frame."""
+        ref = int(self.fs.ref_kf)
+        T_kf = np.asarray(self.map.kf_T_cw[ref]) if ref >= 0 else np.eye(4, dtype=np.float32)
+        return np.asarray(self.fs.T_rk) @ T_kf
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(kf_ids, timestamps, T_cw) for all valid keyframes."""
+        n = int(self.map.n_kf)
+        ids = np.arange(n)
+        ts = np.asarray(self.map.kf_timestamp)[:n]
+        T = np.asarray(self.map.kf_T_cw)[:n]
+        return ids, ts, T
+
+    def save_trajectory(self, path: str) -> None:
+        ids, ts, T = self.keyframe_trajectory()
+        traj_io.save_trajectory(path, ids, ts, T)
+
+    def save_loop_edges(self, path: str) -> None:
+        ids, ts, T = self.keyframe_trajectory()
+        traj_io.save_loop_edges(path, self._loop_edges, ids, ts, T)
+
+    @property
+    def loop_edges(self) -> List[Tuple[int, int]]:
+        return list(self._loop_edges)

@@ -1,0 +1,152 @@
+"""Whole-image loop-closure descriptors (the "DeepLCD" role).
+
+The reference wraps a pretrained Caffe CALC convolutional autoencoder
+(reference src/deeplcd.cpp:43-91: Gaussian blur, resize to 160x120, forward
+pass, 1064-dim L2-normalized descriptor; similarity = dot product,
+deeplcd.cpp:35-39; the caffemodel is fetched at build time by get_model.sh).
+
+This module provides both halves of that capability, TPU-native:
+
+1. :class:`CalcEncoder` — the CALC-style convolutional encoder in Flax
+   (bfloat16 compute for the MXU), for use with trained/converted weights.
+   CALC is trained to reconstruct HOG features of warped views, so its
+   descriptor is a learned HOG surrogate.
+2. :func:`hog_descriptor` — a deterministic HOG -> fixed-random-projection
+   descriptor with the same interface, preprocessing, dimension (1064) and
+   metric (dot product of L2-normalized vectors).  Because CALC's target IS
+   HOG, this is a faithful drop-in when no trained weights are available,
+   and it is fully defined by a seed (no model file to download).
+
+Both produce unit-norm (1064,) float32 vectors; the database similarity
+scan over N stored keyframes is a single (N, 1064) @ (1064,) matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereoslam_tpu.ops.image import gaussian_blur
+
+DESCRIPTOR_DIM = 1064
+INPUT_HW = (120, 160)  # rows, cols — deeplcd.cpp:50 resizes to (160, 120) WxH
+
+
+def preprocess(img: jnp.ndarray) -> jnp.ndarray:
+    """Blur + resize to the CALC input size (deeplcd.cpp:43-52), scale to [0,1]."""
+    img = gaussian_blur(img, sigma=2.0, radius=3)
+    img = jax.image.resize(img, INPUT_HW, method="bilinear")
+    return img / 255.0
+
+
+class CalcEncoder(nn.Module):
+    """CALC-style convolutional encoder.
+
+    conv1(64,5x5,s2) -> relu -> conv2(128,4x4,s2) -> relu ->
+    conv3(4,3x3,s1) -> flatten -> dense(1064).  bfloat16 activations keep
+    the convs on the MXU; the output is cast back to f32 and L2-normalized.
+    """
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (H, W) or (B, H, W)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
+        x = x[..., None].astype(self.dtype)
+        x = nn.Conv(64, (5, 5), strides=(2, 2), dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(128, (4, 4), strides=(2, 2), dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(4, (3, 3), strides=(1, 1), dtype=self.dtype, name="conv3")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(DESCRIPTOR_DIM, dtype=self.dtype, name="proj")(x)
+        x = x.astype(jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        return x[0] if squeeze else x
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HOG-projection descriptor (default operating mode)
+# ---------------------------------------------------------------------------
+
+_N_BINS = 8
+_CELL = 8  # HOG cell size on the 120x160 input -> 15 x 20 cells
+
+
+@functools.lru_cache(maxsize=1)
+def _projection_matrix():
+    """Fixed random projection (hog_dim -> 1064), JL-style, unit columns."""
+    hog_dim = (INPUT_HW[0] // _CELL) * (INPUT_HW[1] // _CELL) * _N_BINS
+    rng = np.random.default_rng(893741)
+    P = rng.standard_normal((hog_dim, DESCRIPTOR_DIM)).astype(np.float32)
+    P /= math.sqrt(hog_dim)
+    # numpy (not jnp) so the cache never holds a traced constant.
+    return P
+
+
+def hog_features(img_pre: jnp.ndarray) -> jnp.ndarray:
+    """Soft-binned HOG over the preprocessed (120, 160) image -> (2400,)."""
+    gx = jnp.zeros_like(img_pre).at[:, 1:-1].set((img_pre[:, 2:] - img_pre[:, :-2]) * 0.5)
+    gy = jnp.zeros_like(img_pre).at[1:-1, :].set((img_pre[2:, :] - img_pre[:-2, :]) * 0.5)
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)  # (-pi, pi]
+
+    # Soft assignment to orientation bins (unsigned gradients, like CALC's HOG).
+    ang = jnp.mod(ang, jnp.pi)  # [0, pi)
+    pos = ang / jnp.pi * _N_BINS
+    b0 = jnp.floor(pos).astype(jnp.int32) % _N_BINS
+    b1 = (b0 + 1) % _N_BINS
+    w1 = pos - jnp.floor(pos)
+    w0 = 1.0 - w1
+
+    h, w = img_pre.shape
+    ch, cw = h // _CELL, w // _CELL
+    hist = jnp.zeros((ch, cw, _N_BINS), jnp.float32)
+
+    cy = (jnp.arange(h) // _CELL)[:, None].repeat(w, 1)
+    cx = (jnp.arange(w) // _CELL)[None, :].repeat(h, 0)
+    hist = hist.at[cy, cx, b0].add(mag * w0)
+    hist = hist.at[cy, cx, b1].add(mag * w1)
+
+    # Per-cell L2 normalization (block norm).
+    hist = hist / jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-6)
+    return hist.reshape(-1)
+
+
+def hog_descriptor(img: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic 1064-d unit-norm whole-image descriptor."""
+    feat = hog_features(preprocess(img))
+    d = feat @ _projection_matrix()
+    return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
+
+
+def similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dot-product similarity (deeplcd.cpp:35-39)."""
+    return jnp.sum(a * b, axis=-1)
+
+
+class DescriptorModel:
+    """Facade choosing between the trained CALC encoder and the HOG default.
+
+    Pass ``params`` (a Flax variables dict, e.g. converted from the
+    reference's caffemodel) to use the neural encoder; otherwise the
+    deterministic HOG projection is used.
+    """
+
+    def __init__(self, params: Optional[dict] = None):
+        self.params = params
+        self._encoder = CalcEncoder() if params is not None else None
+
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        if self._encoder is not None:
+            return self._encoder.apply(self.params, preprocess(img))
+        return hog_descriptor(img)

@@ -37,7 +37,8 @@ def _pattern():
     sigma = 31.0 / 5.0
     pts = rng.normal(0.0, sigma, size=(N_BITS, 2, 2))
     pts = np.clip(pts, -PATCH_RADIUS, PATCH_RADIUS)
-    return jnp.asarray(pts.astype(np.float32))
+    # numpy (not jnp) so the cache never holds a traced constant.
+    return pts.astype(np.float32)
 
 
 def brief_descriptors(

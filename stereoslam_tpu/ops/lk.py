@@ -31,9 +31,13 @@ class FlowResult(NamedTuple):
 
 @functools.lru_cache(maxsize=8)
 def _window_offsets(window: int):
+    # Cached as numpy: caching a jnp array built under a jit trace would leak
+    # the tracer into later traces.
+    import numpy as np
+
     r = window // 2
-    ys, xs = jnp.mgrid[-r : r + 1, -r : r + 1]
-    return jnp.stack([xs.ravel(), ys.ravel()], axis=-1).astype(jnp.float32)  # (W*W, 2)
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    return np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)  # (W*W, 2)
 
 
 def _track_level(
@@ -113,6 +117,7 @@ def pyramidal_lk(
     iters: int = 30,
     eps: float = 0.01,
     max_error: float = 30.0,
+    forward_backward: float = 0.0,
 ) -> FlowResult:
     """Track points from ``pyr_prev`` to ``pyr_next``.
 
@@ -124,6 +129,13 @@ def pyramidal_lk(
         seeds stereo matching with the same position and temporal matching
         with the map-point reprojection (frontend.cpp:134-139), i.e.
         OPTFLOW_USE_INITIAL_FLOW semantics.
+      forward_backward: if > 0, re-track the result back into ``pyr_prev``
+        and reject tracks whose round trip misses the start by more than
+        this many pixels.  Guards against "ghost locks": with a biased
+        initial guess, LK can converge onto a lookalike patch that happens
+        to agree with the prediction — the round trip exposes it.  (A
+        robustness addition over the reference, which relies on its pose
+        optimizer's chi2 rounds alone.)
 
     Returns: :class:`FlowResult`.
     """
@@ -137,7 +149,11 @@ def pyramidal_lk(
         flow, good = _track_level(
             pyr_prev[lvl], pyr_next[lvl], pts_l, flow, window, iters, eps
         )
-        good_all = good_all & good
+        if lvl == 0:
+            # Conditioning only gates at the finest level (as in OpenCV):
+            # coarse levels where the patch has no texture simply leave the
+            # flow unrefined and defer to finer levels.
+            good_all = good_all & good
         if lvl > 0:
             flow = flow * 2.0
 
@@ -152,4 +168,15 @@ def pyramidal_lk(
     )
     err = _final_error(pyr_prev[0], pyr_next[0], pts_prev, flow, window)
     status = good_all & in_bounds & (err < max_error)
+
+    if forward_backward > 0.0:
+        # Backward init = zero flow (NOT the known start, which would bias
+        # the check toward confirming the forward result).
+        back = pyramidal_lk(
+            pyr_next, pyr_prev, pts_next, pts_next,
+            window=window, iters=iters, eps=eps, max_error=max_error,
+            forward_backward=0.0,
+        )
+        round_trip = jnp.linalg.norm(back.points - pts_prev, axis=-1)
+        status = status & back.status & (round_trip <= forward_backward)
     return FlowResult(points=pts_next, status=status, error=err)

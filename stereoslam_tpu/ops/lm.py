@@ -156,6 +156,9 @@ def optimize_pose(
         (T_cw0, inlier0, jnp.asarray(damping0, T_cw0.dtype)),
         jnp.arange(rounds),
     )
+    # Project the rotation back onto SO(3): ~50 left-multiplicative updates
+    # accumulate orthogonality drift that would bias later reprojections.
+    T = se3.orthonormalize(T)
     px, _ = project_jacobian(T, X_w, intr)
     r = obs_px - px
     chi2 = jnp.sum(r * r, axis=-1)

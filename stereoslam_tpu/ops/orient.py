@@ -28,9 +28,10 @@ def _moment_weights():
     # computed with the symmetry fix-up; the continuous circle r + 0.5 is the
     # same set of pixels.
     inside = (xs * xs + ys * ys) <= (r + 0.5) ** 2
+    # numpy (not jnp) so the cache never holds a traced constant.
     wx = np.where(inside, xs, 0).astype(np.float32)
     wy = np.where(inside, ys, 0).astype(np.float32)
-    return jnp.asarray(wx), jnp.asarray(wy)
+    return wx, wy
 
 
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
