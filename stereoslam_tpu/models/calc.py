@@ -79,13 +79,14 @@ class CalcEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 _N_BINS = 8
-_CELL = 8  # HOG cell size on the 120x160 input -> 15 x 20 cells
+_POOL = 8    # pooled grid: 8 x 10 cells over the 120x160 input
+_SMOOTH_SIGMA = 6.0  # orientation-channel smoothing (px) — viewpoint tolerance
 
 
 @functools.lru_cache(maxsize=1)
 def _projection_matrix():
     """Fixed random projection (hog_dim -> 1064), JL-style, unit columns."""
-    hog_dim = (INPUT_HW[0] // _CELL) * (INPUT_HW[1] // _CELL) * _N_BINS
+    hog_dim = _POOL * (_POOL * INPUT_HW[1] // INPUT_HW[0]) * _N_BINS
     rng = np.random.default_rng(893741)
     P = rng.standard_normal((hog_dim, DESCRIPTOR_DIM)).astype(np.float32)
     P /= math.sqrt(hog_dim)
@@ -94,14 +95,19 @@ def _projection_matrix():
 
 
 def hog_features(img_pre: jnp.ndarray) -> jnp.ndarray:
-    """Soft-binned HOG over the preprocessed (120, 160) image -> (2400,)."""
+    """Smoothed orientation-channel HOG over the (120, 160) input.
+
+    Gradient energy is soft-assigned to 8 unsigned-orientation channels,
+    each channel is heavily Gaussian-smoothed, then average-pooled to a
+    coarse 8x10 grid.  The smoothing makes the descriptor tolerant to the
+    ~10 px image shifts between nearby viewpoints (hard cell binning is
+    brittle exactly there), which is what place recognition needs.
+    """
     gx = jnp.zeros_like(img_pre).at[:, 1:-1].set((img_pre[:, 2:] - img_pre[:, :-2]) * 0.5)
     gy = jnp.zeros_like(img_pre).at[1:-1, :].set((img_pre[2:, :] - img_pre[:-2, :]) * 0.5)
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
-    ang = jnp.arctan2(gy, gx)  # (-pi, pi]
+    ang = jnp.mod(jnp.arctan2(gy, gx), jnp.pi)  # unsigned, [0, pi)
 
-    # Soft assignment to orientation bins (unsigned gradients, like CALC's HOG).
-    ang = jnp.mod(ang, jnp.pi)  # [0, pi)
     pos = ang / jnp.pi * _N_BINS
     b0 = jnp.floor(pos).astype(jnp.int32) % _N_BINS
     b1 = (b0 + 1) % _N_BINS
@@ -109,17 +115,23 @@ def hog_features(img_pre: jnp.ndarray) -> jnp.ndarray:
     w0 = 1.0 - w1
 
     h, w = img_pre.shape
-    ch, cw = h // _CELL, w // _CELL
-    hist = jnp.zeros((ch, cw, _N_BINS), jnp.float32)
+    onehot0 = jax.nn.one_hot(b0, _N_BINS, dtype=jnp.float32)
+    onehot1 = jax.nn.one_hot(b1, _N_BINS, dtype=jnp.float32)
+    channels = mag[..., None] * (onehot0 * w0[..., None] + onehot1 * w1[..., None])
 
-    cy = (jnp.arange(h) // _CELL)[:, None].repeat(w, 1)
-    cx = (jnp.arange(w) // _CELL)[None, :].repeat(h, 0)
-    hist = hist.at[cy, cx, b0].add(mag * w0)
-    hist = hist.at[cy, cx, b1].add(mag * w1)
+    # Smooth each orientation channel, then pool to the coarse grid.
+    smoothed = jnp.stack(
+        [gaussian_blur(channels[..., k], sigma=_SMOOTH_SIGMA, radius=9) for k in range(_N_BINS)],
+        axis=-1,
+    )
+    ch = _POOL
+    cw = _POOL * w // h
+    ph, pw = h // ch, w // cw
+    pooled = smoothed[: ch * ph, : cw * pw].reshape(ch, ph, cw, pw, _N_BINS).mean(axis=(1, 3))
 
-    # Per-cell L2 normalization (block norm).
-    hist = hist / jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-6)
-    return hist.reshape(-1)
+    # Per-cell L2 normalization (contrast invariance).
+    pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-6)
+    return pooled.reshape(-1)
 
 
 def hog_descriptor(img: jnp.ndarray) -> jnp.ndarray:

@@ -65,21 +65,27 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation-matrix logarithm, (..., 3, 3) -> (..., 3).
 
-    Handles the three regimes: near identity (Taylor), generic, and near pi
-    (axis from the diagonal of R + I), all branch-free via ``where``.
+    Handles the three regimes — near identity (Taylor), generic, near pi
+    (axis from R + I) — branch-free AND autodiff-safe: theta comes from
+    atan2 (arccos has an infinite gradient at the identity), and every
+    untaken branch is evaluated at guarded inputs so reverse/forward-mode
+    never sees 0 * nan.
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    sin_theta = jnp.sin(theta)
-
-    # Generic: w = theta / (2 sin theta) * vee(R - R^T).  theta = arccos(..) is
-    # in [0, pi] so sin_theta >= 0; Taylor expand theta/(2 sin theta) near 0.
     antisym = vee(R - jnp.swapaxes(R, -1, -2))
+    sin_theta = 0.5 * jnp.sqrt(
+        jnp.maximum(jnp.sum(antisym * antisym, axis=-1), 1e-24)
+    )
+    theta = jnp.arctan2(sin_theta, cos_theta)
+
+    # Generic: w = theta / (2 sin theta) * vee(R - R^T); Taylor near 0.
+    small = sin_theta < 1e-5
+    sin_safe = jnp.where(small, 1.0, sin_theta)
     scale_generic = jnp.where(
-        sin_theta > 1e-5,
-        theta / jnp.maximum(2.0 * sin_theta, 1e-20),
+        small,
         0.5 + theta * theta / 12.0,
+        theta / (2.0 * sin_safe),
     )
     w_generic = scale_generic[..., None] * antisym
 

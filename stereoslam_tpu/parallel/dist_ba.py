@@ -1,0 +1,239 @@
+"""Distributed windowed bundle adjustment: landmark blocks sharded over the
+mesh, Schur reductions over ICI collectives.
+
+The reference's BA is a single-threaded CSparse solve (reference
+src/backend.cpp:126-232).  The Schur-complement structure factors cleanly
+over landmarks: each device owns a slice of the landmark blocks and its
+observations, computes partial ``B``, ``b_c`` and the eliminated terms
+``E C^-1 E^T`` / ``E C^-1 b_p``, and one ``psum`` over the model axis yields
+the reduced 6Wx6W camera system, which every device solves redundantly
+(42x42 — cheaper than communicating the factorization).  Landmark
+back-substitution is fully local.  This is the BASELINE.md "distributed BA
+with Schur-complement reduction over landmark blocks" capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from stereoslam_tpu.ops import se3
+from stereoslam_tpu.ops.camera import Intrinsics
+from stereoslam_tpu.ops.schur import (
+    BAProblem,
+    BAResult,
+    _huber_w,
+    _inv3x3,
+    _project_all,
+    _robust_cost,
+)
+
+
+def solve_window_ba_sharded(
+    prob: BAProblem,
+    intr: Intrinsics,
+    mesh: Mesh,
+    model_axis: str = "model",
+    rounds: int = 5,
+    iters: int = 10,
+    chi2_threshold: float = 5.991,
+    huber_delta: float = 5.991,
+    damping0: float = 1e-4,
+) -> BAResult:
+    """Sharded variant of :func:`stereoslam_tpu.ops.schur.solve_window_ba`.
+
+    Sharding layout (model axis = ``m``):
+      - landmarks (C, ...)      -> P(m): each device owns C/m landmark blocks
+      - observations (W, N, ..) -> P(None, m): feature slots split over devices;
+        the compaction upstream must place a landmark's observations and its
+        block on the same shard OR rely on segment-sum locality — here each
+        observation indexes into the *global* landmark table, so obs slots are
+        co-sharded with their landmark slice by construction in
+        ``shard_problem``.
+      - cameras                 -> replicated (W is tiny)
+
+    Every per-iteration collective is a single psum of the (W,6,W,6) reduced
+    Hessian + (W,6) rhs + one scalar cost pair: O(W^2) floats over ICI.
+    """
+    W, N = prob.obs_valid.shape
+    C = prob.lm_pos.shape[0]
+    n_shards = mesh.shape[model_axis]
+    assert C % n_shards == 0 and N % n_shards == 0
+
+    lm_free = prob.lm_valid & ~prob.lm_fixed
+    Cl = C // n_shards
+
+    def local_solve(
+        cam_T, cam_valid, cam_fixed,
+        lm_pos_s, lm_free_s, lm_valid_s,
+        obs_px_s, obs_lm_s, obs_valid_s,
+    ):
+        # obs_lm_s holds *local* landmark slot indices in [0, Cl).
+        base_valid = obs_valid_s & cam_valid[:, None] & lm_valid_s[obs_lm_s]
+
+        def chi2_of(cam_T, lm_pos_s):
+            px_hat, _, _ = _project_all(cam_T, lm_pos_s, obs_lm_s, intr)
+            r = obs_px_s - px_hat
+            return jnp.sum(r * r, axis=-1)
+
+        def lm_iter(carry, _):
+            cam_T, lm_pos_s, inlier, lam = carry
+            px_hat, J_c, J_p = _project_all(cam_T, lm_pos_s, obs_lm_s, intr)
+            r = obs_px_s - px_hat
+            chi2 = jnp.sum(r * r, axis=-1)
+            wgt = jnp.where(base_valid & inlier, _huber_w(chi2, huber_delta), 0.0)
+            J_c = jnp.where(cam_fixed[:, None, None, None], 0.0, J_c)
+
+            B = jnp.einsum("wnki,wn,wnkj->wij", J_c, wgt, J_c)
+            b_c = jnp.einsum("wnki,wn,wnk->wi", J_c, wgt, r)
+            flat = obs_lm_s.reshape(-1)
+            C_blk = jax.ops.segment_sum(
+                jnp.einsum("wnki,wn,wnkj->wnij", J_p, wgt, J_p).reshape(-1, 3, 3),
+                flat, num_segments=Cl,
+            )
+            b_p = jax.ops.segment_sum(
+                jnp.einsum("wnki,wn,wnk->wni", J_p, wgt, r).reshape(-1, 3),
+                flat, num_segments=Cl,
+            )
+            JcJp = jnp.einsum("wnki,wn,wnkj->wnij", J_c, wgt, J_p)
+            E = jax.vmap(
+                lambda blocks, segs: jax.ops.segment_sum(blocks, segs, num_segments=Cl)
+            )(JcJp, obs_lm_s)
+
+            C_inv = _inv3x3(C_blk + lam * jnp.eye(3, dtype=C_blk.dtype))
+            C_inv = jnp.where(lm_free_s[:, None, None], C_inv, 0.0)
+            ECi = jnp.einsum("wcij,cjk->wcik", E, C_inv)
+            S_part = -jnp.einsum("wcik,vclk->wivl", ECi, E)
+            rhs_part = b_c - jnp.einsum("wcik,ck->wi", ECi, b_p)
+
+            # ---- the one ICI reduction per iteration ----
+            S = jax.lax.psum(S_part, model_axis)
+            rhs = jax.lax.psum(rhs_part, model_axis)
+            B_tot = jax.lax.psum(B, model_axis)
+
+            diag = jnp.arange(W)
+            S = S.at[diag, :, diag, :].add(B_tot + lam * jnp.eye(6, dtype=B.dtype))
+            Sm = S.reshape(W * 6, W * 6)
+            slot_mask = jnp.repeat(cam_valid & ~cam_fixed, 6)
+            Sm = jnp.where(slot_mask[:, None] & slot_mask[None, :], Sm, 0.0)
+            Sm = Sm + jnp.diag(jnp.where(slot_mask, 0.0, 1.0))
+            rhs_m = jnp.where(slot_mask, rhs.reshape(-1), 0.0)
+            dx_cam = jnp.linalg.solve(
+                Sm + 1e-8 * jnp.eye(W * 6, dtype=Sm.dtype), rhs_m
+            ).reshape(W, 6)
+
+            Et_dx = jnp.einsum("wcij,wi->cj", E, dx_cam)
+            dx_p = jnp.einsum("cij,cj->ci", C_inv, b_p - Et_dx)
+
+            cam_T_new = se3.exp(dx_cam) @ cam_T
+            cam_T_new = jnp.where(
+                (cam_valid & ~cam_fixed)[:, None, None], cam_T_new, cam_T
+            )
+            lm_new = jnp.where(lm_free_s[:, None], lm_pos_s + dx_p, lm_pos_s)
+
+            mask = jnp.where(base_valid & inlier, 1.0, 0.0)
+            cost_old = jax.lax.psum(
+                jnp.sum(_robust_cost(chi2, huber_delta) * mask), model_axis
+            )
+            cost_new = jax.lax.psum(
+                jnp.sum(_robust_cost(chi2_of(cam_T_new, lm_new), huber_delta) * mask),
+                model_axis,
+            )
+            ok = cost_new < cost_old
+            cam_T = jnp.where(ok, cam_T_new, cam_T)
+            lm_pos_s = jnp.where(ok, lm_new, lm_pos_s)
+            lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e3))
+            return (cam_T, lm_pos_s, inlier, lam), None
+
+        def one_round(carry, _):
+            cam_T, lm_pos_s, inlier, lam = carry
+            (cam_T, lm_pos_s, inlier, lam), _ = jax.lax.scan(
+                lm_iter, (cam_T, lm_pos_s, inlier, lam), None, length=iters
+            )
+            chi2 = chi2_of(cam_T, lm_pos_s)
+            inlier = base_valid & (chi2 <= chi2_threshold)
+            return (cam_T, lm_pos_s, inlier, lam), None
+
+        init = (cam_T, lm_pos_s, base_valid, jnp.asarray(damping0, cam_T.dtype))
+        (cam_T, lm_pos_s, inlier, _), _ = jax.lax.scan(
+            one_round, init, None, length=rounds
+        )
+        moved = cam_valid & ~cam_fixed
+        cam_T = jnp.where(moved[:, None, None], se3.orthonormalize(cam_T), cam_T)
+        chi2 = chi2_of(cam_T, lm_pos_s)
+        return cam_T, lm_pos_s, inlier, chi2
+
+    fn = shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),                      # cameras replicated
+            P(model_axis), P(model_axis), P(model_axis),   # landmarks sharded
+            P(None, model_axis), P(None, model_axis), P(None, model_axis),  # obs sharded on N
+        ),
+        out_specs=(P(), P(model_axis), P(None, model_axis), P(None, model_axis)),
+        # cam_T is mathematically replicated (every shard solves the same
+        # psum-reduced system) but the varying-mesh-axes checker cannot see
+        # through the solve; disable the static check.
+        check_vma=False,
+    )
+    # Convert global landmark slots to local: caller guarantees obs slot i on
+    # shard s references landmark slot in [s*Cl, (s+1)*Cl); make indices local.
+    obs_lm_local = prob.obs_lm % Cl
+    cam_T, lm_pos, inlier, chi2 = fn(
+        prob.cam_T, prob.cam_valid, prob.cam_fixed,
+        prob.lm_pos, lm_free, prob.lm_valid,
+        prob.obs_px, obs_lm_local, prob.obs_valid,
+    )
+    return BAResult(cam_T=cam_T, lm_pos=lm_pos, obs_inlier=inlier, chi2=chi2)
+
+
+def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+    """Re-layout a BAProblem so shard s owns landmark slots [s*Cl, (s+1)*Cl)
+    and the observation columns that reference them.
+
+    Builds a permutation of the (W, N) observation slots such that column
+    block s only references landmark block s.  Observations are per-(kf,
+    feature) and each references exactly one landmark, so the permutation
+    always exists when per-shard observation counts fit in N/n_shards —
+    overflow slots are invalidated (logged by the caller via the returned
+    mask count if needed).
+    """
+    import numpy as np
+
+    W, N = np.asarray(prob.obs_valid).shape
+    C = prob.lm_pos.shape[0]
+    Cl = C // n_shards
+    Nl = N // n_shards
+
+    obs_lm = np.asarray(prob.obs_lm)
+    obs_valid = np.asarray(prob.obs_valid).copy()
+    obs_px = np.asarray(prob.obs_px)
+
+    new_lm = np.zeros_like(obs_lm)
+    new_px = np.zeros_like(obs_px)
+    new_valid = np.zeros_like(obs_valid)
+    for w in range(W):
+        fill = [0] * n_shards
+        for i in range(N):
+            if not obs_valid[w, i]:
+                continue
+            s = int(obs_lm[w, i]) // Cl
+            dst = s * Nl + fill[s]
+            if fill[s] >= Nl:
+                continue  # shard-column overflow: drop observation
+            fill[s] += 1
+            new_lm[w, dst] = obs_lm[w, i]
+            new_px[w, dst] = obs_px[w, i]
+            new_valid[w, dst] = True
+
+    return prob._replace(
+        obs_lm=jnp.asarray(new_lm),
+        obs_px=jnp.asarray(new_px),
+        obs_valid=jnp.asarray(new_valid),
+    )

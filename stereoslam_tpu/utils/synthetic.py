@@ -79,6 +79,7 @@ def generate_sequence(
     speed: float = 0.35,
     seed: int = 0,
     yaw_rate: float = 0.0,
+    loop_frames: int = 0,
 ) -> SyntheticSequence:
     """Render a stereo sequence through a field of textured blobs.
 
@@ -91,11 +92,18 @@ def generate_sequence(
     fy = fx
 
     # World: blob field in a long corridor (or ring) around the trajectory.
+    loop_frames = loop_frames or n_frames
     if trajectory == "loop":
         # Blob annulus around the circular trajectory (circle centre at
         # (radius, 0, 0) in x/z — see the pose construction below).
-        radius = speed * n_frames / (2 * np.pi)
-        ang = rng.uniform(0, 2 * np.pi, n_points)
+        # Angular density + intensity vary around the ring: a perfectly
+        # uniform annulus is rotationally self-similar, which makes place
+        # recognition ill-posed by construction.
+        radius = speed * loop_frames / (2 * np.pi)
+        mix = rng.integers(0, 4, n_points)
+        centers = np.array([0.3, 1.9, 3.4, 5.1])
+        spreads = np.array([0.5, 0.9, 0.4, 1.1])
+        ang = np.mod(rng.normal(centers[mix], spreads[mix]), 2 * np.pi)
         rad = radius + rng.uniform(2.0, 18.0, n_points) * np.sign(rng.standard_normal(n_points))
         pts = np.stack(
             [radius - rad * np.cos(ang), rng.uniform(-3.0, 3.0, n_points), rad * np.sin(ang)],
@@ -125,10 +133,10 @@ def generate_sequence(
     yaw = 0.0
     for t in range(n_frames):
         if trajectory == "loop":
-            # Circle of matching circumference in the x/z plane through origin;
-            # heading tangent to the circle, so the run closes on frame 0's view.
-            radius = speed * n_frames / (2 * np.pi)
-            yaw = 2 * np.pi * t / n_frames
+            # Circle closing after ``loop_frames`` frames; n_frames beyond
+            # that revisits the start of the circuit.
+            radius = speed * loop_frames / (2 * np.pi)
+            yaw = 2 * np.pi * t / loop_frames
             # d(pos)/d(yaw) ∝ (sin yaw, 0, cos yaw) == the camera heading below.
             pos = np.array([radius * (1.0 - np.cos(yaw)), 0.0, radius * np.sin(yaw)])
         else:

@@ -1,0 +1,141 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereoslam_tpu.ops import se3
+from stereoslam_tpu.ops.camera import Intrinsics, world2pixel
+from stereoslam_tpu.ops.schur import BAProblem, solve_window_ba
+from stereoslam_tpu.parallel.dist_ba import shard_problem, solve_window_ba_sharded
+from stereoslam_tpu.parallel.dist_lcd import sharded_descriptor_search
+from stereoslam_tpu.parallel.mesh import make_mesh
+
+INTR = Intrinsics.create(400.0, 400.0, 320.0, 160.0)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape["model"] == 8 and mesh.shape["data"] == 1
+    mesh2 = make_mesh(dp=2)
+    assert mesh2.shape["model"] == 4
+
+
+def test_sharded_descriptor_search_matches_dense(rng):
+    mesh = make_mesh()
+    K, D = 64, 128
+    db = rng.standard_normal((K, D)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[17] + rng.standard_normal(D).astype(np.float32) * 0.05
+    q /= np.linalg.norm(q)
+    valid = np.ones(K, bool)
+    valid[40:44] = False
+
+    res = sharded_descriptor_search(
+        jnp.asarray(db), jnp.asarray(valid), jnp.asarray(q),
+        jnp.int32(K), 0.5, mesh,
+    )
+    scores = db @ q
+    scores[~valid] = -1
+    assert int(res.best_id) == int(np.argmax(scores))
+    np.testing.assert_allclose(float(res.best_score), scores.max(), rtol=1e-5)
+    assert int(res.n_suspect) == int((scores > 0.5).sum())
+
+
+def test_sharded_search_respects_id_gate(rng):
+    mesh = make_mesh()
+    K, D = 64, 32
+    db = rng.standard_normal((K, D)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[60]  # perfect match, but excluded by the recency gate
+    res = sharded_descriptor_search(
+        jnp.asarray(db), jnp.ones(K, bool), jnp.asarray(q),
+        jnp.int32(40), 0.9, mesh,
+    )
+    assert int(res.best_id) < 40
+
+
+def make_ba_problem(rng, W=4, N=64, C=128, n_shards=8):
+    Cl = C // n_shards
+    Nl = N // n_shards
+    xi = np.zeros((W, 6), np.float32)
+    xi[:, 2] = -np.arange(W) * 0.4
+    cam_gt = np.asarray(se3.exp(jnp.asarray(xi)))
+    X_gt = rng.uniform([-6, -3, 5], [6, 3, 25], (C, 3)).astype(np.float32)
+    # observations co-sharded with landmarks: column block s -> lm block s
+    obs_lm = np.zeros((W, N), np.int32)
+    for s in range(n_shards):
+        obs_lm[:, s * Nl : (s + 1) * Nl] = rng.integers(
+            s * Cl, (s + 1) * Cl, (W, Nl)
+        )
+    px = np.zeros((W, N, 2), np.float32)
+    for w in range(W):
+        px[w] = np.asarray(world2pixel(jnp.asarray(X_gt[obs_lm[w]]), jnp.asarray(cam_gt[w]), INTR))
+    valid = (px[..., 0] > 0) & (px[..., 0] < 640) & (px[..., 1] > 0) & (px[..., 1] < 320)
+
+    dxi = (rng.standard_normal((W, 6)) * 0.01).astype(np.float32)
+    dxi[0] = 0
+    cam0 = np.asarray(se3.exp(jnp.asarray(dxi)) @ jnp.asarray(cam_gt))
+    X0 = X_gt + rng.normal(0, 0.03, X_gt.shape).astype(np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[::7] = True
+    X0[fixed] = X_gt[fixed]
+
+    return BAProblem(
+        cam_T=jnp.asarray(cam0),
+        cam_valid=jnp.ones(W, bool),
+        cam_fixed=jnp.zeros(W, bool),
+        lm_pos=jnp.asarray(X0),
+        lm_valid=jnp.ones(C, bool),
+        lm_fixed=jnp.asarray(fixed),
+        obs_px=jnp.asarray(px),
+        obs_lm=jnp.asarray(obs_lm),
+        obs_valid=jnp.asarray(valid),
+    ), cam_gt, X_gt
+
+
+def test_sharded_ba_matches_dense(rng):
+    mesh = make_mesh()
+    prob, cam_gt, X_gt = make_ba_problem(rng)
+    dense = solve_window_ba(prob, INTR, rounds=2, iters=8)
+    sharded = solve_window_ba_sharded(prob, INTR, mesh, rounds=2, iters=8)
+
+    # Both must converge to the ground truth (same problem, same algorithm).
+    for res in (dense, sharded):
+        err = np.asarray(
+            jax.vmap(lambda a, b: se3.log(a @ se3.inv(b)))(res.cam_T, jnp.asarray(cam_gt))
+        )
+        assert np.abs(err).max() < 5e-3
+    # psum reduction order differs from the dense sum — allow float-level slack.
+    np.testing.assert_allclose(
+        np.asarray(sharded.cam_T), np.asarray(dense.cam_T), atol=2e-3
+    )
+
+
+def test_shard_problem_relayout(rng):
+    prob, _, _ = make_ba_problem(rng)
+    # Scramble the observation layout, then re-shard.
+    W, N = prob.obs_valid.shape
+    perm = rng.permutation(N)
+    scrambled = prob._replace(
+        obs_lm=prob.obs_lm[:, perm],
+        obs_px=prob.obs_px[:, perm],
+        obs_valid=prob.obs_valid[:, perm],
+    )
+    laid = shard_problem(scrambled, 8)
+    C = prob.lm_pos.shape[0]
+    Cl, Nl = C // 8, N // 8
+    lm = np.asarray(laid.obs_lm)
+    valid = np.asarray(laid.obs_valid)
+    for s in range(8):
+        block = lm[:, s * Nl : (s + 1) * Nl]
+        vb = valid[:, s * Nl : (s + 1) * Nl]
+        assert ((block[vb] // Cl) == s).all()
+    # No valid observation lost (counts may drop only via overflow).
+    assert valid.sum() <= np.asarray(scrambled.obs_valid).sum()
+    assert valid.sum() >= 0.9 * np.asarray(scrambled.obs_valid).sum()
