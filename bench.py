@@ -55,12 +55,16 @@ def main():
     )
     slam = StereoSlam(cfg, enable_backend=True, enable_loop=True)
 
-    # Warmup (compilation) over the first frames.
+    # Warmup (compilation) until the tracking AND keyframe paths have both
+    # compiled (stereo-init + track + make-KF + BA + loop-process).
     t = 0
-    for t in range(warmup):
+    for t in range(n_frames // 2):
         ok = slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
         if not ok:
             break
+        if t + 1 >= warmup and int(slam.map.n_kf) >= 2:
+            break
+    warmup = t + 1
 
     t0 = time.time()
     frames = 0

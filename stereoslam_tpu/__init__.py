@@ -32,4 +32,15 @@ import jax as _jax
 # kernels opt back into bf16 explicitly via their own dtypes.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the fused pipeline programs take minutes to
+# compile cold; cache them across processes (override dir via env).
+import os as _os
+
+_cache_dir = _os.environ.get("STEREOSLAM_JAX_CACHE", "/tmp/stereoslam_jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:  # older jax without the knobs
+    pass
+
 from stereoslam_tpu.config import SlamConfig  # noqa: F401

@@ -46,6 +46,8 @@ class TrackOutput(NamedTuple):
     state: FrontendState
     num_inliers: jnp.ndarray  # () i32
     num_tracked: jnp.ndarray  # () i32
+    counts: jnp.ndarray       # (2,) i32 = [num_inliers, num_tracked] — one
+                              # packed host pull instead of two device syncs
 
 
 def _gather_lm(map_state: MapState, lm_idx: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -137,7 +139,12 @@ def track_step(
         status=fs.status,  # host updates from num_inliers
         frame_id=fs.frame_id + 1,
     )
-    return TrackOutput(state=new_fs, num_inliers=res.num_inliers, num_tracked=num_tracked)
+    return TrackOutput(
+        state=new_fs,
+        num_inliers=res.num_inliers,
+        num_tracked=num_tracked,
+        counts=jnp.stack([res.num_inliers, num_tracked]),
+    )
 
 
 def _compact_tracks(tracks: TrackState) -> TrackState:

@@ -71,7 +71,13 @@ class StereoSlam:
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
 
         lk_levels = cfg.tracking.lk_levels
-        self._jit_pyr = jax.jit(partial(build_lk_pyramid, n_levels=lk_levels))
+        # Images cross host->device as uint8 (4x less wire traffic — matters
+        # a lot when the TPU sits behind a tunnel) and widen on device.
+        self._jit_pyr = jax.jit(
+            lambda img_u8: build_lk_pyramid(img_u8.astype(jnp.float32), lk_levels)
+        )
+        self._jit_img_f32 = jax.jit(lambda img_u8: img_u8.astype(jnp.float32))
+        self._status = INITING
         self._jit_track = jax.jit(
             partial(
                 frontend_mod.track_step,
@@ -111,24 +117,25 @@ class StereoSlam:
         Returns False once tracking is LOST (the reference quits then,
         frontend.cpp:64-67 — relocalization is an explicit non-goal there).
         """
-        left = jnp.asarray(left, jnp.float32)
-        right = jnp.asarray(right, jnp.float32)
-        ts = jnp.float32(timestamp)
-        pyr_left = self._jit_pyr(left)
-
-        status = int(self.fs.status)
-        if status == LOST:
+        if self._status == LOST:
             return False
 
-        if status == INITING:
-            pyr_right = self._jit_pyr(right)
+        left_u8 = jax.device_put(np.asarray(left).astype(np.uint8))
+        ts = jnp.float32(timestamp)
+        pyr_left = self._jit_pyr(left_u8)
+        left_f32 = self._jit_img_f32(left_u8)
+
+        if self._status == INITING:
+            right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
+            pyr_right = self._jit_pyr(right_u8)
             fs, m, kf_id, n_lm = self._jit_stereo_init(
-                left, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
+                left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
             )
             if int(n_lm) >= self.cfg.features.num_features_init_good:
+                self._status = TRACKING_GOOD
                 self.fs = fs._replace(status=jnp.int32(TRACKING_GOOD))
                 self.map = m
-                self._after_keyframe(left, pyr_left, int(kf_id))
+                self._after_keyframe(left_f32, pyr_left, int(kf_id))
                 log.info("stereo init: %d landmarks, KF %d", int(n_lm), int(kf_id))
             else:
                 # Init failed — stay INITING, try next frame (frontend.cpp:64).
@@ -138,33 +145,34 @@ class StereoSlam:
             return True
 
         out = self._jit_track(self.fs, self.map, self._pyr_prev, pyr_left)
-        n_inliers = int(out.num_inliers)
+        counts = np.asarray(out.counts)  # single host pull for both scalars
+        n_inliers = int(counts[0])
         self.metrics["num_inliers"].append(n_inliers)
-        self.metrics["num_tracked"].append(int(out.num_tracked))
-        fs = out.state
+        self.metrics["num_tracked"].append(int(counts[1]))
+        self.fs = out.state
 
         f = self.cfg.features
         if n_inliers > f.num_features_tracking_good:
-            new_status = TRACKING_GOOD
+            self._status = TRACKING_GOOD
         elif n_inliers > f.num_features_tracking_bad:
-            new_status = TRACKING_BAD
+            self._status = TRACKING_BAD
         else:
-            new_status = LOST
-        self.fs = fs._replace(status=jnp.int32(new_status))
+            self._status = LOST
 
-        if new_status == LOST:
+        if self._status == LOST:
             log.warning("tracking LOST at frame %d (%d inliers)", self._frame_count, n_inliers)
             self._pyr_prev = pyr_left
             self._frame_count += 1
             return False
 
-        if new_status == TRACKING_BAD:
+        if self._status == TRACKING_BAD:
             # Tracking got weak -> new keyframe (frontend.cpp:111-119).
-            pyr_right = self._jit_pyr(right)
+            right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
+            pyr_right = self._jit_pyr(right_u8)
             self.fs, self.map, kf_id = self._jit_make_kf(
-                left, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
+                left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
             )
-            self._after_keyframe(left, pyr_left, int(kf_id))
+            self._after_keyframe(left_f32, pyr_left, int(kf_id))
 
         self._pyr_prev = pyr_left
         self._frame_count += 1
@@ -196,6 +204,13 @@ class StereoSlam:
                 )
                 self.fs = self.fs._replace(tracks=tracks)
                 log.info("loop closed: KF %d -> KF %d", kf_id, int(loop_kf))
+
+    # ------------------------------------------------------------------
+    @property
+    def status(self) -> int:
+        """Frontend status (INITING/TRACKING_GOOD/TRACKING_BAD/LOST),
+        maintained host-side to avoid a device sync per query."""
+        return self._status
 
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:

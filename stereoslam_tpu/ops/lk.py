@@ -29,6 +29,23 @@ class FlowResult(NamedTuple):
     error: jnp.ndarray   # (N,) float32 mean |residual| over the window
 
 
+def _use_pallas_kernel(window: int) -> bool:
+    """TPU runs the Pallas per-feature window kernel (ops/lk_pallas.py) —
+    the jnp gather formulation costs ~270 ms/frame there.  CPU keeps the
+    jnp path (the kernel's interpret mode is for tests).  Override with
+    STEREOSLAM_LK=jnp|pallas."""
+    import os
+
+    impl = os.environ.get("STEREOSLAM_LK", "auto")
+    if impl == "jnp":
+        return False
+    if impl == "pallas":
+        return True
+    from stereoslam_tpu.ops import lk_pallas
+
+    return window == lk_pallas.WINDOW and jax.default_backend() != "cpu"
+
+
 @functools.lru_cache(maxsize=8)
 def _window_offsets(window: int):
     # Cached as numpy: caching a jnp array built under a jit trace would leak
@@ -143,12 +160,23 @@ def pyramidal_lk(
     top = float(2 ** (n_levels - 1))
     flow = (pts_init - pts_prev) / top
     good_all = jnp.ones(pts_prev.shape[0], bool)
+
+    use_pallas = _use_pallas_kernel(window)
+    if use_pallas:
+        from stereoslam_tpu.ops.lk_pallas import lk_level_pallas
+
     for lvl in range(n_levels - 1, -1, -1):
         scale = float(2**lvl)
         pts_l = pts_prev / scale
-        flow, good = _track_level(
-            pyr_prev[lvl], pyr_next[lvl], pts_l, flow, window, iters, eps
-        )
+        if use_pallas:
+            flow, good = lk_level_pallas(
+                pyr_prev[lvl], pyr_next[lvl], pts_l, flow, iters=iters, eps=eps,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            flow, good = _track_level(
+                pyr_prev[lvl], pyr_next[lvl], pts_l, flow, window, iters, eps
+            )
         if lvl == 0:
             # Conditioning only gates at the finest level (as in OpenCV):
             # coarse levels where the patch has no texture simply leave the

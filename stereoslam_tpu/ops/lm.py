@@ -33,6 +33,15 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray        # (N,) final squared reprojection error (pixels^2)
 
 
+def project_only(T_cw: jnp.ndarray, X_w: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
+    """Projection without Jacobians (for cost evaluation)."""
+    P = se3.act(T_cw, X_w)
+    Z = jnp.where(jnp.abs(P[..., 2]) < 1e-6, 1e-6, P[..., 2])
+    u = intr.fx * P[..., 0] / Z + intr.cx
+    v = intr.fy * P[..., 1] / Z + intr.cy
+    return jnp.stack([u, v], axis=-1)
+
+
 def project_jacobian(
     T_cw: jnp.ndarray, X_w: jnp.ndarray, intr: Intrinsics
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -124,7 +133,7 @@ def optimize_pose(
         dx = solve6(Hn, bn, lam)
         T_new = se3.left_update(T, dx)
         # Accept if total robust error decreased (simple LM gate).
-        px2, _ = project_jacobian(T_new, X_w, intr)
+        px2 = project_only(T_new, X_w, intr)
         r2 = obs_px - px2
         chi2_new = jnp.sum(r2 * r2, axis=-1)
         mask = jnp.where(valid & inlier, 1.0, 0.0)
@@ -144,7 +153,7 @@ def optimize_pose(
         )
         # Re-classify: chi2 against threshold (frontend.cpp:232-246) — flagged
         # points may be reinstated if their error dropped.
-        px, _ = project_jacobian(T, X_w, intr)
+        px = project_only(T, X_w, intr)
         r = obs_px - px
         chi2 = jnp.sum(r * r, axis=-1)
         inlier = valid & (chi2 <= delta2)
@@ -159,7 +168,7 @@ def optimize_pose(
     # Project the rotation back onto SO(3): ~50 left-multiplicative updates
     # accumulate orthogonality drift that would bias later reprojections.
     T = se3.orthonormalize(T)
-    px, _ = project_jacobian(T, X_w, intr)
+    px = project_only(T, X_w, intr)
     r = obs_px - px
     chi2 = jnp.sum(r * r, axis=-1)
     return PoseOptResult(

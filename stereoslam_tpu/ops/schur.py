@@ -56,6 +56,18 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray       # (W, N) final squared reprojection errors
 
 
+def _project_px(cam_T, lm_pos, obs_lm, intr: Intrinsics):
+    """Projection only (cost evaluation) — no Jacobian work."""
+    P_w = lm_pos[obs_lm]
+    R = cam_T[:, None, :3, :3]
+    t = cam_T[:, None, :3, 3]
+    P_c = jnp.einsum("wnij,wnj->wni", jnp.broadcast_to(R, P_w.shape[:2] + (3, 3)), P_w) + t
+    Z = jnp.where(jnp.abs(P_c[..., 2]) < 1e-6, 1e-6, P_c[..., 2])
+    u = intr.fx * P_c[..., 0] / Z + intr.cx
+    v = intr.fy * P_c[..., 1] / Z + intr.cy
+    return jnp.stack([u, v], axis=-1)
+
+
 def _project_all(cam_T, lm_pos, obs_lm, intr: Intrinsics):
     """Project every observation; return residual pieces and Jacobians.
 
@@ -140,7 +152,7 @@ def solve_window_ba(
     )
 
     def chi2_of(cam_T, lm_pos):
-        px_hat, _, _ = _project_all(cam_T, lm_pos, prob.obs_lm, intr)
+        px_hat = _project_px(cam_T, lm_pos, prob.obs_lm, intr)
         r = prob.obs_px - px_hat
         return jnp.sum(r * r, axis=-1)
 

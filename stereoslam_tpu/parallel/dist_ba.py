@@ -30,6 +30,7 @@ from stereoslam_tpu.ops.schur import (
     _huber_w,
     _inv3x3,
     _project_all,
+    _project_px,
     _robust_cost,
 )
 
@@ -77,7 +78,7 @@ def solve_window_ba_sharded(
         base_valid = obs_valid_s & cam_valid[:, None] & lm_valid_s[obs_lm_s]
 
         def chi2_of(cam_T, lm_pos_s):
-            px_hat, _, _ = _project_all(cam_T, lm_pos_s, obs_lm_s, intr)
+            px_hat = _project_px(cam_T, lm_pos_s, obs_lm_s, intr)
             r = obs_px_s - px_hat
             return jnp.sum(r * r, axis=-1)
 

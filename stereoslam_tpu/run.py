@@ -1,0 +1,78 @@
+"""CLI driver: run stereo SLAM on a KITTI sequence.
+
+The TPU-native counterpart of the reference app
+(reference app/run_kitti_stereo.cpp:30-105: ``run_kitti_stereo config.yaml
+sequence_dir`` — per-frame loop with timing, progress prints every 100
+frames, trajectory + loop-edge dumps, average FPS report)::
+
+    python -m stereoslam_tpu.run CONFIG SEQUENCE_DIR [--output DIR]
+                                 [--max-frames N] [--no-loop] [--no-backend]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config", help="reference-style OpenCV YAML config")
+    parser.add_argument("sequence_dir", help="KITTI sequence dir (times.txt, image_0/, image_1/)")
+    parser.add_argument("--output", default="result", help="output directory")
+    parser.add_argument("--max-frames", type=int, default=0)
+    parser.add_argument("--no-loop", action="store_true")
+    parser.add_argument("--no-backend", action="store_true")
+    parser.add_argument("--gt", default="", help="optional KITTI gt poses file for ATE report")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    log = logging.getLogger("run")
+
+    from stereoslam_tpu.config import load_config
+    from stereoslam_tpu.core.system import StereoSlam
+    from stereoslam_tpu.utils import kitti
+
+    cfg = load_config(args.config)
+    slam = StereoSlam(cfg, enable_backend=not args.no_backend, enable_loop=not args.no_loop)
+
+    os.makedirs(args.output, exist_ok=True)
+    t0 = time.time()
+    n = 0
+    for left, right, ts in kitti.frames(args.sequence_dir):
+        ok = slam.process_frame(left, right, ts)
+        n += 1
+        if n % 100 == 0:
+            log.info("frame %d (%.1f FPS)", n, n / (time.time() - t0))
+        if not ok:
+            log.warning("tracking lost — stopping (reference behavior)")
+            break
+        if args.max_frames and n >= args.max_frames:
+            break
+    dt = time.time() - t0
+    log.info("processed %d frames in %.1fs (%.1f FPS avg)", n, dt, n / dt)
+
+    traj_path = os.path.join(args.output, "trajectory.txt")
+    edges_path = os.path.join(args.output, "loopEdges.txt")
+    slam.save_trajectory(traj_path)
+    slam.save_loop_edges(edges_path)
+    log.info("saved %s (+ %d loop edges in %s)", traj_path, len(slam.loop_edges), edges_path)
+
+    if args.gt:
+        import numpy as np
+
+        from stereoslam_tpu.utils.metrics import ate_rmse
+
+        gt_all = kitti.load_gt_poses(args.gt)
+        ids, _, T_cw = slam.keyframe_trajectory()
+        fid = np.asarray(slam.map.kf_frame_id)[: len(ids)]
+        est_T_wc = np.linalg.inv(T_cw.astype(np.float64))
+        ate = ate_rmse(est_T_wc, gt_all[fid], align=True)
+        log.info("ATE RMSE vs ground truth: %.3f m over %d keyframes", ate, len(ids))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
