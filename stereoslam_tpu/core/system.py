@@ -37,6 +37,7 @@ from stereoslam_tpu.ops import se3
 from stereoslam_tpu.ops.camera import Intrinsics
 from stereoslam_tpu.ops.image import build_lk_pyramid
 from stereoslam_tpu.utils import trajectory as traj_io
+from stereoslam_tpu.utils.prof import Profiler
 
 log = logging.getLogger(__name__)
 
@@ -65,18 +66,40 @@ class StereoSlam:
         self.baseline = cam.baseline
 
         self.fs, self.map, self.loop = init_all(cfg)
+        self.async_ba = True   # overlap BA with tracking (reference-style)
+        self._pending_ba = None
         self._pyr_prev = None
         self._frame_count = 0
         self._loop_edges: List[Tuple[int, int]] = []
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
+        self.profiler = Profiler()
 
         lk_levels = cfg.tracking.lk_levels
+        # Optional image undistortion (reference camera.cpp:36-48), fused
+        # into the on-device preprocessing via a precomputed remap grid.
+        if cam.need_undistortion:
+            from stereoslam_tpu.ops.camera import undistort_image, undistortion_map
+
+            h, w = cfg.image_height, cfg.image_width
+            map_l = undistortion_map(
+                h, w, self.intr_left, jnp.asarray([cam.k1, cam.k2, cam.p1, cam.p2])
+            )
+            map_r = undistortion_map(
+                h, w, self.intr_right,
+                jnp.asarray([cam.k1_right, cam.k2_right, cam.p1_right, cam.p2_right]),
+            )
+            self._pre_left = lambda u8: undistort_image(u8.astype(jnp.float32), map_l)
+            self._pre_right = lambda u8: undistort_image(u8.astype(jnp.float32), map_r)
+        else:
+            self._pre_left = self._pre_right = lambda u8: u8.astype(jnp.float32)
+
         # Images cross host->device as uint8 (4x less wire traffic — matters
         # a lot when the TPU sits behind a tunnel) and widen on device.
-        self._jit_pyr = jax.jit(
-            lambda img_u8: build_lk_pyramid(img_u8.astype(jnp.float32), lk_levels)
+        self._jit_pyr = jax.jit(lambda u8: build_lk_pyramid(self._pre_left(u8), lk_levels))
+        self._jit_pyr_right = jax.jit(
+            lambda u8: build_lk_pyramid(self._pre_right(u8), lk_levels)
         )
-        self._jit_img_f32 = jax.jit(lambda img_u8: img_u8.astype(jnp.float32))
+        self._jit_img_f32 = jax.jit(self._pre_left)
         self._status = INITING
         self._jit_track = jax.jit(
             partial(
@@ -120,6 +143,7 @@ class StereoSlam:
         if self._status == LOST:
             return False
 
+        rec = self.profiler.start_frame(self._frame_count, float(timestamp))
         left_u8 = jax.device_put(np.asarray(left).astype(np.uint8))
         ts = jnp.float32(timestamp)
         pyr_left = self._jit_pyr(left_u8)
@@ -127,7 +151,7 @@ class StereoSlam:
 
         if self._status == INITING:
             right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
-            pyr_right = self._jit_pyr(right_u8)
+            pyr_right = self._jit_pyr_right(right_u8)
             fs, m, kf_id, n_lm = self._jit_stereo_init(
                 left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
             )
@@ -140,15 +164,20 @@ class StereoSlam:
             else:
                 # Init failed — stay INITING, try next frame (frontend.cpp:64).
                 log.info("stereo init failed: only %d landmarks", int(n_lm))
+            rec.status = self._status
+            self.profiler.end_frame()
             self._pyr_prev = pyr_left
             self._frame_count += 1
             return True
 
-        out = self._jit_track(self.fs, self.map, self._pyr_prev, pyr_left)
-        counts = np.asarray(out.counts)  # single host pull for both scalars
+        self._poll_async()
+        with self.profiler.stage("track"):
+            out = self._jit_track(self.fs, self.map, self._pyr_prev, pyr_left)
+            counts = np.asarray(out.counts)  # single host pull for both scalars
         n_inliers = int(counts[0])
         self.metrics["num_inliers"].append(n_inliers)
         self.metrics["num_tracked"].append(int(counts[1]))
+        rec.num_inliers, rec.num_tracked = n_inliers, int(counts[1])
         self.fs = out.state
 
         f = self.cfg.features
@@ -161,19 +190,26 @@ class StereoSlam:
 
         if self._status == LOST:
             log.warning("tracking LOST at frame %d (%d inliers)", self._frame_count, n_inliers)
+            rec.status = self._status
+            self.profiler.end_frame()
             self._pyr_prev = pyr_left
             self._frame_count += 1
             return False
 
         if self._status == TRACKING_BAD:
             # Tracking got weak -> new keyframe (frontend.cpp:111-119).
+            self._flush_pending_ba()
             right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
-            pyr_right = self._jit_pyr(right_u8)
-            self.fs, self.map, kf_id = self._jit_make_kf(
-                left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
-            )
+            pyr_right = self._jit_pyr_right(right_u8)
+            with self.profiler.stage("make_kf"):
+                self.fs, self.map, kf_id = self._jit_make_kf(
+                    left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
+                )
+            rec.keyframe_id = int(kf_id)
             self._after_keyframe(left_f32, pyr_left, int(kf_id))
 
+        rec.status = self._status
+        self.profiler.end_frame()
         self._pyr_prev = pyr_left
         self._frame_count += 1
         return True
@@ -182,28 +218,63 @@ class StereoSlam:
     def _after_keyframe(self, left, pyr_left, kf_id: int) -> None:
         """Backend BA + loop closing for a freshly inserted keyframe —
         the work the reference's backend/loop threads do (backend.cpp:74-103,
-        loopclosing.cpp:52-80)."""
+        loopclosing.cpp:52-80).
+
+        Pipeline overlap: JAX async dispatch enqueues BA (and descriptor
+        extraction) without blocking; tracking of subsequent frames reads the
+        pre-BA map ("stale read under the map lock", exactly the reference's
+        concurrency model, map.h:64) and the refined map is swapped in by
+        :meth:`_poll_async` once the device finishes it.
+        """
         if self.enable_loop:
             self.loop = self._loop_closer.process_keyframe(
                 self.map, self.loop, left, pyr_left, jnp.int32(kf_id)
             )
         if self.enable_backend:
-            self.map = self._jit_ba(self.map)
-        if self.enable_loop:
-            self.map, self.loop, closed, loop_kf = self._loop_closer.detect_and_correct(
-                self.map, self.loop, jnp.int32(kf_id)
+            if self.async_ba:
+                self._pending_ba = self._jit_ba(self.map)  # enqueued, not awaited
+            else:
+                self.map = self._jit_ba(self.map)
+        self._run_loop_closing(kf_id)
+
+    def _run_loop_closing(self, kf_id: int) -> None:
+        if not self.enable_loop:
+            return
+        # Loop correction rewrites the map; it must see the BA result
+        # (the reference pauses the backend here, loopclosing.cpp:445-449).
+        self._flush_pending_ba()
+        self.map, self.loop, closed, loop_kf = self._loop_closer.detect_and_correct(
+            self.map, self.loop, jnp.int32(kf_id)
+        )
+        if closed:
+            self._loop_edges.append((kf_id, int(loop_kf)))
+            if self.profiler._current is not None:
+                self.profiler._current.loop_closed_with = int(loop_kf)
+            # The frontend pose is KF-relative, so the corrected KF pose
+            # propagates automatically; only the landmark-merge remap
+            # needs applying to live tracks (the reference gets this via
+            # shared mappoint pointers, loopclosing.cpp:521-529).
+            tracks = self.fs.tracks._replace(
+                lm_idx=self._loop_closer.remap_tracks(self.fs.tracks.lm_idx)
             )
-            if closed:
-                self._loop_edges.append((kf_id, int(loop_kf)))
-                # The frontend pose is KF-relative, so the corrected KF pose
-                # propagates automatically; only the landmark-merge remap
-                # needs applying to live tracks (the reference gets this via
-                # shared mappoint pointers, loopclosing.cpp:521-529).
-                tracks = self.fs.tracks._replace(
-                    lm_idx=self._loop_closer.remap_tracks(self.fs.tracks.lm_idx)
-                )
-                self.fs = self.fs._replace(tracks=tracks)
-                log.info("loop closed: KF %d -> KF %d", kf_id, int(loop_kf))
+            self.fs = self.fs._replace(tracks=tracks)
+            log.info("loop closed: KF %d -> KF %d", kf_id, int(loop_kf))
+
+    def _flush_pending_ba(self) -> None:
+        if self._pending_ba is not None:
+            self.map = self._pending_ba
+            self._pending_ba = None
+
+    def _poll_async(self) -> None:
+        """Swap in a finished BA result without blocking (the frontend keeps
+        tracking against the stale map meanwhile, like the reference)."""
+        if self._pending_ba is not None:
+            ready = all(
+                leaf.is_ready() if hasattr(leaf, "is_ready") else True
+                for leaf in jax.tree.leaves(self._pending_ba)
+            )
+            if ready:
+                self._flush_pending_ba()
 
     # ------------------------------------------------------------------
     @property
@@ -222,6 +293,7 @@ class StereoSlam:
     # ------------------------------------------------------------------
     def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(kf_ids, timestamps, T_cw) for all valid keyframes."""
+        self._flush_pending_ba()
         n = int(self.map.n_kf)
         ids = np.arange(n)
         ts = np.asarray(self.map.kf_timestamp)[:n]
@@ -239,3 +311,20 @@ class StereoSlam:
     @property
     def loop_edges(self) -> List[Tuple[int, int]]:
         return list(self._loop_edges)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> str:
+        """Snapshot the full SLAM state (map + tracks + loop DB) — a
+        capability the reference lacks entirely (SURVEY.md §5)."""
+        from stereoslam_tpu.utils import checkpoint as ckpt
+
+        self._flush_pending_ba()
+        fs = self.fs._replace(status=jnp.int32(self._status))
+        return ckpt.save_checkpoint(path, fs, self.map, self.loop, pyr=self._pyr_prev)
+
+    def load_checkpoint(self, path: str) -> None:
+        from stereoslam_tpu.utils import checkpoint as ckpt
+
+        self.fs, self.map, self.loop, pyr = ckpt.load_checkpoint(path)
+        self._status = int(self.fs.status)
+        self._pyr_prev = pyr

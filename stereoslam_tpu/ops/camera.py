@@ -90,6 +90,37 @@ def stereo_right_pose(baseline) -> jnp.ndarray:
     return se3.from_Rt(jnp.eye(3, dtype=jnp.float32), t)
 
 
+def undistortion_map(
+    h: int, w: int, intr: Intrinsics, dist: jnp.ndarray
+) -> jnp.ndarray:
+    """Precompute the (H, W, 2) source-coordinate grid for image
+    undistortion — the functional equivalent of ``cv::initUndistortRectifyMap``
+    used by the reference's ``Camera::UndistortImage`` (camera.cpp:36-48).
+
+    For each undistorted pixel, gives the (x, y) position in the distorted
+    input to sample (forward distortion model, no iteration needed).
+    """
+    k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    x = (xs[None, :] - intr.cx) / intr.fx
+    y = (ys[:, None] - intr.cy) / intr.fy
+    x = jnp.broadcast_to(x, (h, w))
+    y = jnp.broadcast_to(y, (h, w))
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + k2 * r2)
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd * intr.fx + intr.cx, yd * intr.fy + intr.cy], axis=-1)
+
+
+def undistort_image(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear remap through a precomputed :func:`undistortion_map` grid."""
+    from stereoslam_tpu.ops.image import bilinear_sample
+
+    return bilinear_sample(img, src_map)
+
+
 def undistort_points(px: jnp.ndarray, intr: Intrinsics, dist: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     """Iteratively undo radial/tangential distortion (k1, k2, p1, p2).
 

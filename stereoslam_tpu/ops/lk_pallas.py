@@ -83,9 +83,11 @@ def _one_feature(prev_buf, next_buf, px, py, fx0, fy0, y0, x0, iters, eps, min_e
     ty = py - y0.astype(py.dtype) - r
     tx = px - x0.astype(px.dtype) - r
 
+    # Template + central-difference gradients.  (A single-extract variant
+    # with static sub-slices selected by fraction thresholds measured the
+    # same speed but miscompiled on v5e Mosaic — keep the per-sample
+    # extraction, which is hardware-verified.)
     T = _bilinear_patch(prev_buf, ty, tx)
-    # Same +/-0.5 central-difference stencil as ops/lk.py:_track_level so the
-    # conditioning gate (min eigenvalue of G) matches between the two paths.
     Ix = _bilinear_patch(prev_buf, ty, tx + 0.5) - _bilinear_patch(prev_buf, ty, tx - 0.5)
     Iy = _bilinear_patch(prev_buf, ty + 0.5, tx) - _bilinear_patch(prev_buf, ty - 0.5, tx)
     g11 = jnp.sum(Ix * Ix)
@@ -106,6 +108,10 @@ def _one_feature(prev_buf, next_buf, px, py, fx0, fy0, y0, x0, iters, eps, min_e
     hi_y = jnp.float32(TILE_H - 24)
     hi_x = jnp.float32(TILE_W - WINDOW - HALO - 1)
 
+    # NOTE: an early-exit lax.while_loop variant measured only ~18% faster
+    # here (the per-group fori pipeline hides much of the skipped work) and
+    # miscompiled on v5e Mosaic (wrong `good` flags) — fori_loop with masked
+    # updates is the verified formulation.
     def body(_, carry):
         fx, fy, converged = carry
         jy = jnp.clip(ty + fy, lo, hi_y)

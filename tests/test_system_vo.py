@@ -101,3 +101,29 @@ def test_lost_on_black_frames(forward_seq):
     assert slam.process_frame(seq.left[1], seq.right[1], 0.1)
     ok = slam.process_frame(black, black, 0.2)
     assert not ok  # LOST, like the reference (frontend.cpp:103-108)
+
+
+def test_checkpoint_resume(tmp_path, forward_seq):
+    seq = forward_seq
+    cfg = make_cfg(seq)
+    slam = StereoSlam(cfg, enable_backend=False, enable_loop=False)
+    for t in range(15):
+        assert slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
+    path = str(tmp_path / "ckpt.npz")
+    slam.save_checkpoint(path)
+
+    slam2 = StereoSlam(cfg, enable_backend=False, enable_loop=False)
+    slam2.load_checkpoint(path)
+    assert int(slam2.map.n_kf) == int(slam.map.n_kf)
+    assert slam2.status == slam.status
+    np.testing.assert_array_equal(
+        np.asarray(slam2.map.lm_pos), np.asarray(slam.map.lm_pos)
+    )
+    # Resume tracking seamlessly: both instances agree on the next frames.
+    for t in range(15, 25):
+        ok1 = slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
+        ok2 = slam2.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
+        assert ok1 and ok2
+    np.testing.assert_allclose(
+        slam.current_pose(), slam2.current_pose(), atol=1e-5
+    )
