@@ -265,11 +265,13 @@ def _evict_active(map_state: MapState, T_cw_newest: jnp.ndarray, min_dist: float
     occupied = idx >= 0
     poses = map_state.kf_T_cw[jnp.maximum(idx, 0)]
     # Distance in SE(3) between each active KF and the newest (map.cpp:88-95
-    # uses translation-+-rotation norm of the relative transform).
+    # uses translation-+-rotation norm of the relative transform).  Eviction
+    # runs BEFORE the new KF is appended, so every occupied slot is an old
+    # KF and a legitimate candidate (the reference's RemoveOldActiveKeyframe
+    # likewise excludes only the just-inserted KF, map.cpp:84-86).
     rel = poses @ se3.inv(T_cw_newest)
     dist = jnp.linalg.norm(se3.log(rel), axis=-1)
-    is_newest = jnp.arange(W) == (map_state.n_active - 1)
-    cand = occupied & ~is_newest
+    cand = occupied
     big = jnp.float32(1e9)
     dist_min = jnp.where(cand, dist, big)
     dist_max = jnp.where(cand, dist, -big)
