@@ -139,3 +139,39 @@ def test_shard_problem_relayout(rng):
     # No valid observation lost (counts may drop only via overflow).
     assert valid.sum() <= np.asarray(scrambled.obs_valid).sum()
     assert valid.sum() >= 0.9 * np.asarray(scrambled.obs_valid).sum()
+
+
+def test_multiseq_vo_matches_single(rng):
+    """Batched multi-sequence VO tracks as well as the single-sequence path."""
+    from stereoslam_tpu.parallel.multiseq import MultiSeqVO
+    from stereoslam_tpu.utils.synthetic import generate_sequence
+    from tests.test_system_vo import make_cfg
+
+    seqA = generate_sequence(n_frames=12, trajectory="forward", seed=3)
+    seqB = generate_sequence(n_frames=12, trajectory="forward", seed=5)
+    cfg = make_cfg(seqA)
+
+    vo = MultiSeqVO(cfg, batch=2)
+    left0 = np.stack([seqA.left[0], seqB.left[0]])
+    right0 = np.stack([seqA.right[0], seqB.right[0]])
+    n_lm = vo.initialize(left0, right0, np.zeros(2))
+    assert (n_lm > cfg.features.num_features_init_good).all()
+
+    for t in range(1, 12):
+        inl = vo.process_frames(
+            np.stack([seqA.left[t], seqB.left[t]]),
+            np.stack([seqA.right[t], seqB.right[t]]),
+            np.full(2, t * 0.1),
+        )
+        assert (inl > cfg.features.num_features_tracking_bad).all()
+
+    # Both sequences' poses track their own ground truth.
+    import numpy.linalg as la
+
+    for b, seq in enumerate((seqA, seqB)):
+        T_kf = np.asarray(vo.maps.kf_T_cw[b, 0])
+        T_rk = np.asarray(vo.fs.T_rk[b]).astype(np.float64)
+        est = T_rk @ T_kf.astype(np.float64)
+        gt = seq.T_cw[11].astype(np.float64)
+        err = la.norm(la.inv(est)[:3, 3] - la.inv(gt)[:3, 3])
+        assert err < 0.3, f"seq {b}: {err}"
