@@ -114,9 +114,10 @@ def _pyramid_orb(img: jnp.ndarray, feat_xy: jnp.ndarray, feat_valid: jnp.ndarray
 class LoopCloser:
     """Host-side driver owning the jitted loop-closing stages."""
 
-    def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None):
+    def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None, mesh=None):
         self.cfg = cfg
         self.intr = intr
+        self.mesh = mesh  # optional jax Mesh: shard DB search + pose graph
         self.model = calc.DescriptorModel(descriptor_params)
         self._key = jax.random.PRNGKey(7)
 
@@ -155,6 +156,19 @@ class LoopCloser:
     def _detect_impl(self, loop: LoopState, kf_id):
         cfg = self.cfg.loop
         d = loop.deep_db[kf_id]
+        if self.mesh is not None:
+            # Row-sharded database scan over the mesh (parallel/dist_lcd.py):
+            # stays O(K / n_chips) per chip as the run grows.
+            from stereoslam_tpu.parallel.dist_lcd import sharded_descriptor_search
+
+            res = sharded_descriptor_search(
+                loop.deep_db, loop.db_valid, d,
+                kf_id - cfg.id_gap + 1, cfg.similarity_low, self.mesh,
+            )
+            found = (res.best_score >= cfg.similarity_high) & (
+                res.n_suspect <= cfg.max_above_low
+            )
+            return DetectResult(found=found, loop_kf=res.best_id, max_score=res.best_score)
         scores = loop.deep_db @ d  # (K,) one matmul — the whole linear scan
         ids = jnp.arange(scores.shape[0], dtype=jnp.int32)
         eligible = loop.db_valid & ((kf_id - ids) >= cfg.id_gap)
@@ -381,7 +395,14 @@ class LoopCloser:
             edge_meas=edge_meas,
             edge_valid=edge_valid,
         )
-        poses_opt = optimize_pose_graph(graph, gn_iters=self.cfg.backend.ba_iters * 2)
+        if self.mesh is not None:
+            from stereoslam_tpu.parallel.dist_pgo import optimize_pose_graph_sharded
+
+            poses_opt = optimize_pose_graph_sharded(
+                graph, self.mesh, gn_iters=self.cfg.backend.ba_iters * 2
+            )
+        else:
+            poses_opt = optimize_pose_graph(graph, gn_iters=self.cfg.backend.ba_iters * 2)
 
         # ---- 6. re-anchor non-active landmarks to their first observer
         # (loopclosing.cpp:617-637)

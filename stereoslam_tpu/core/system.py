@@ -55,7 +55,15 @@ class StereoSlam:
         slam.save_trajectory("trajectory.txt")
     """
 
-    def __init__(self, cfg: SlamConfig, enable_backend: bool = True, enable_loop: bool = True):
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        enable_backend: bool = True,
+        enable_loop: bool = True,
+        mesh=None,
+    ):
+        """``mesh``: optional jax.sharding.Mesh — shards the loop-closure
+        descriptor search and global pose graph over its "model" axis."""
         cfg.validate()
         self.cfg = cfg
         self.enable_backend = enable_backend
@@ -131,7 +139,7 @@ class StereoSlam:
                 partial(backend_mod.optimize_active_map, intr=self.intr_left, cfg=cfg)
             )
         if enable_loop:
-            self._loop_closer = loop_mod.LoopCloser(cfg, self.intr_left)
+            self._loop_closer = loop_mod.LoopCloser(cfg, self.intr_left, mesh=mesh)
 
     # ------------------------------------------------------------------
     def process_frame(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> bool:

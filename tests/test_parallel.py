@@ -175,3 +175,76 @@ def test_multiseq_vo_matches_single(rng):
         gt = seq.T_cw[11].astype(np.float64)
         err = la.norm(la.inv(est)[:3, 3] - la.inv(gt)[:3, 3])
         assert err < 0.3, f"seq {b}: {err}"
+
+
+def test_sharded_pgo_matches_dense(rng):
+    """Edge-sharded PGO must agree with the dense solver."""
+    from stereoslam_tpu.ops.pgo import PoseGraph, optimize_pose_graph
+    from stereoslam_tpu.parallel.dist_pgo import optimize_pose_graph_sharded
+    from tests.test_loop_ops import test_pose_graph_closes_loop  # noqa: F401
+
+    # Build the same drifted-circle graph as the dense test.
+    K, n = 48, 40
+    poses_gt = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        r = 5.0
+        c, s = np.cos(ang), np.sin(ang)
+        T_wc = np.eye(4)
+        T_wc[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T_wc[:3, 3] = [r * (1 - c), 0, r * s]
+        poses_gt.append(np.linalg.inv(T_wc))
+    poses_gt = np.stack(poses_gt).astype(np.float32)
+
+    rel_meas, est = [], [poses_gt[0]]
+    for i in range(1, n):
+        rel = poses_gt[i] @ np.linalg.inv(poses_gt[i - 1])
+        noise = np.asarray(se3.exp(jnp.asarray(
+            (rng.standard_normal(6) * 0.01).astype(np.float32))))
+        rel_noisy = noise @ rel
+        rel_meas.append(rel_noisy)
+        est.append(rel_noisy @ est[-1])
+    est = np.stack(est)
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:n] = est
+    vertex_valid = np.zeros(K, bool); vertex_valid[:n] = True
+    fixed = np.zeros(K, bool); fixed[0] = True; fixed[n:] = True
+    E = 2 * K  # divisible by 8
+    edge_i = np.zeros(E, np.int32); edge_j = np.zeros(E, np.int32)
+    edge_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+    edge_valid = np.zeros(E, bool)
+    for i in range(1, n):
+        edge_i[i], edge_j[i], edge_meas[i], edge_valid[i] = i, i - 1, rel_meas[i - 1], True
+    edge_i[n], edge_j[n] = n - 1, 0
+    edge_meas[n] = poses_gt[n - 1] @ np.linalg.inv(poses_gt[0])
+    edge_valid[n] = True
+
+    graph = PoseGraph(
+        poses=jnp.asarray(poses), vertex_valid=jnp.asarray(vertex_valid),
+        fixed=jnp.asarray(fixed), edge_i=jnp.asarray(edge_i),
+        edge_j=jnp.asarray(edge_j), edge_meas=jnp.asarray(edge_meas),
+        edge_valid=jnp.asarray(edge_valid),
+    )
+    dense = np.asarray(optimize_pose_graph(graph, gn_iters=8))
+    mesh = make_mesh()
+    sharded = np.asarray(optimize_pose_graph_sharded(graph, mesh, gn_iters=8))
+    np.testing.assert_allclose(sharded, dense, atol=2e-3)
+
+
+def test_system_with_mesh_runs_loop(rng):
+    """The full system runs with a mesh: sharded detection + sharded PGO."""
+    from stereoslam_tpu.core.system import StereoSlam
+    from stereoslam_tpu.utils.synthetic import generate_sequence
+    from tests.test_system_loop import loop_cfg
+
+    seq = generate_sequence(
+        n_frames=150, loop_frames=120, trajectory="loop", speed=0.35, seed=7,
+        n_points=900,
+    )
+    cfg = loop_cfg(seq)
+    mesh = make_mesh()
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True, mesh=mesh)
+    for t in range(len(seq.left)):
+        assert slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
+    assert len(slam.loop_edges) >= 1
