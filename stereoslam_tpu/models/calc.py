@@ -68,7 +68,9 @@ class CalcEncoder(nn.Module):
         x = nn.relu(x)
         x = nn.Conv(4, (3, 3), strides=(1, 1), dtype=self.dtype, name="conv3")(x)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(DESCRIPTOR_DIM, dtype=self.dtype, name="proj")(x)
+        # No bias: a shared constant component would dominate the normalized
+        # descriptor and collapse similarities toward 1.
+        x = nn.Dense(DESCRIPTOR_DIM, dtype=self.dtype, use_bias=False, name="proj")(x)
         x = x.astype(jnp.float32)
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
         return x[0] if squeeze else x

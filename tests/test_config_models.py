@@ -107,3 +107,27 @@ def test_viewer_outputs(tmp_path, rng):
 
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 1000
+
+
+def test_calc_training_improves(rng):
+    """A short CALC training run must reduce loss and produce a model whose
+    descriptor separates same-place (warped) pairs from different places."""
+    from stereoslam_tpu.models.train_calc import train_encoder
+    from tests.test_features import checker_image
+
+    imgs = np.stack([
+        checker_image(np.random.default_rng(i), 120, 160, n_blobs=60)
+        for i in range(24)
+    ])
+    params, history = train_encoder(imgs, steps=150, batch=8, lr=2e-3, seed=0)
+    assert history[-1] < history[0] * 0.9, history
+
+    # Short training only guarantees loss descent + correct ranking; real
+    # margins need a long run on varied data (see models/train_calc.py).
+    model = calc.DescriptorModel(params)
+    a = jnp.asarray(imgs[0])
+    a_shift = jnp.asarray(np.roll(imgs[0], 6, axis=1))
+    b = jnp.asarray(imgs[1])
+    da, ds, db = model(a), model(a_shift), model(b)
+    np.testing.assert_allclose(float(jnp.linalg.norm(da)), 1.0, atol=1e-3)
+    assert float(da @ ds) > float(da @ db)
