@@ -109,6 +109,15 @@ class StereoSlam:
         )
         self._jit_img_f32 = jax.jit(self._pre_left)
         self._status = INITING
+
+        def _track_fused(fs, m, pyr_prev, left_u8):
+            # Pyramid construction fused into the tracking program: one
+            # dispatch per frame, and the new pyramid is returned for reuse
+            # as next frame's "previous".
+            pyr = build_lk_pyramid(self._pre_left(left_u8), lk_levels)
+            return frontend_mod.track_step(fs, m, pyr_prev, pyr, self.intr_left, cfg), pyr
+
+        self._jit_track_fused = jax.jit(_track_fused)
         self._jit_track = jax.jit(
             partial(
                 frontend_mod.track_step,
@@ -154,10 +163,10 @@ class StereoSlam:
         rec = self.profiler.start_frame(self._frame_count, float(timestamp))
         left_u8 = jax.device_put(np.asarray(left).astype(np.uint8))
         ts = jnp.float32(timestamp)
-        pyr_left = self._jit_pyr(left_u8)
-        left_f32 = self._jit_img_f32(left_u8)
 
         if self._status == INITING:
+            pyr_left = self._jit_pyr(left_u8)
+            left_f32 = self._jit_img_f32(left_u8)
             right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
             pyr_right = self._jit_pyr_right(right_u8)
             fs, m, kf_id, n_lm = self._jit_stereo_init(
@@ -180,7 +189,9 @@ class StereoSlam:
 
         self._poll_async()
         with self.profiler.stage("track"):
-            out = self._jit_track(self.fs, self.map, self._pyr_prev, pyr_left)
+            out, pyr_left = self._jit_track_fused(
+                self.fs, self.map, self._pyr_prev, left_u8
+            )
             counts = np.asarray(out.counts)  # single host pull for both scalars
         n_inliers = int(counts[0])
         self.metrics["num_inliers"].append(n_inliers)
@@ -207,6 +218,7 @@ class StereoSlam:
         if self._status == TRACKING_BAD:
             # Tracking got weak -> new keyframe (frontend.cpp:111-119).
             self._flush_pending_ba()
+            left_f32 = self._jit_img_f32(left_u8)
             right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
             pyr_right = self._jit_pyr_right(right_u8)
             with self.profiler.stage("make_kf"):

@@ -232,8 +232,14 @@ def test_sharded_pgo_matches_dense(rng):
     np.testing.assert_allclose(sharded, dense, atol=2e-3)
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("STEREOSLAM_SLOW_TESTS"),
+    reason="8-minute end-to-end run; set STEREOSLAM_SLOW_TESTS=1",
+)
 def test_system_with_mesh_runs_loop(rng):
-    """The full system runs with a mesh: sharded detection + sharded PGO."""
+    """The full system runs with a mesh: sharded detection + sharded PGO.
+    (The sharded components are covered individually by the fast tests
+    above; this gate only affects the end-to-end rehearsal.)"""
     from stereoslam_tpu.core.system import StereoSlam
     from stereoslam_tpu.utils.synthetic import generate_sequence
     from tests.test_system_loop import loop_cfg
