@@ -15,6 +15,29 @@ import numpy as np
 
 
 def main():
+    # Watchdog: if the device is wedged (seen once: a dead client holding the
+    # TPU grant makes every claim hang), emit a diagnostic record instead of
+    # hanging the whole round.
+    import signal
+
+    def _on_timeout(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "full_pipeline_fps_kitti_res",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": "watchdog: device unresponsive",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "3300")))
+
     t_setup = time.time()
     import jax
 

@@ -1,0 +1,77 @@
+"""End-to-end CLI driver test on a synthetic KITTI-format directory."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from stereoslam_tpu.utils.synthetic import generate_sequence
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kitti_seq")
+    seq = generate_sequence(n_frames=20, trajectory="forward", seed=3)
+    (d / "image_0").mkdir()
+    (d / "image_1").mkdir()
+    for i in range(len(seq.left)):
+        cv2.imwrite(str(d / "image_0" / f"{i:06d}.png"), seq.left[i].astype(np.uint8))
+        cv2.imwrite(str(d / "image_1" / f"{i:06d}.png"), seq.right[i].astype(np.uint8))
+    with open(d / "times.txt", "w") as f:
+        for t in seq.timestamps:
+            f.write(f"{t:.6f}\n")
+    # Matching config file.
+    cfg_path = d / "config.yaml"
+    cfg_path.write_text(
+        "%YAML:1.0\n"
+        f"Camera.left.fx: {seq.fx}\nCamera.left.fy: {seq.fy}\n"
+        f"Camera.left.cx: {seq.cx}\nCamera.left.cy: {seq.cy}\n"
+        f"Camera.right.fx: {seq.fx}\nCamera.right.fy: {seq.fy}\n"
+        f"Camera.right.cx: {seq.cx}\nCamera.right.cy: {seq.cy}\n"
+        f"Camera.bf: {seq.fx * seq.baseline}\n"
+        "numFeatures.initGood: 50\n"
+        "ORBextractor.nInitFeatures: 200\n"
+    )
+    return d
+
+
+def test_cli_runs_sequence(tmp_path, kitti_dir):
+    from stereoslam_tpu.run import main
+
+    out_dir = str(tmp_path / "result")
+    rc = main([
+        str(kitti_dir / "config.yaml"), str(kitti_dir),
+        "--output", out_dir, "--no-loop", "--max-frames", "15",
+    ])
+    assert rc == 0
+    traj = os.path.join(out_dir, "trajectory.txt")
+    assert os.path.exists(traj)
+    lines = open(traj).read().strip().splitlines()
+    assert len(lines) >= 1
+    assert all(len(l.split()) == 9 for l in lines)
+    assert os.path.exists(os.path.join(out_dir, "loopEdges.txt"))
+
+
+def test_orb_public_api(rng):
+    import jax.numpy as jnp
+
+    from stereoslam_tpu.config import SlamConfig, FeatureConfig
+    from stereoslam_tpu.ops.orb import detect_keypoints, extract_pyramid_descriptors
+    from tests.test_features import checker_image
+
+    cfg = SlamConfig(
+        features=FeatureConfig(
+            n_init_features=64, n_new_features=32, max_features=64,
+            num_features_init_good=16, num_features_tracking_good=12,
+            num_features_tracking_bad=4, n_levels=4,
+        )
+    )
+    img = jnp.asarray(checker_image(rng, 240, 320))
+    kps = detect_keypoints(img, 64, border=24)
+    out = extract_pyramid_descriptors(img, kps.xy, kps.valid, cfg)
+    assert out.desc.shape == (64 * 4, 8)
+    v = np.asarray(out.valid)
+    assert v.sum() > 32  # most level-0 clones survive screening
+    assert (np.asarray(out.cls)[v] < 64).all()
