@@ -9,7 +9,7 @@ kernel modules; this facade groups them for users porting reference code.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ lists across devices (see parallel/).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

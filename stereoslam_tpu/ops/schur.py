@@ -22,7 +22,7 @@ does (it fixes no pose vertex).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

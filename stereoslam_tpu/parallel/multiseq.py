@@ -10,7 +10,7 @@ so frames/s scales with chips (BASELINE.md "high-rate mode").
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
