@@ -34,7 +34,7 @@ from stereoslam_tpu.models import calc
 from stereoslam_tpu.ops import se3
 from stereoslam_tpu.ops.brief import brief_descriptors
 from stereoslam_tpu.ops.camera import Intrinsics
-from stereoslam_tpu.ops.fast import fast_response
+from stereoslam_tpu.ops.fast import fast_corner_check_at
 from stereoslam_tpu.ops.hamming import match_descriptors
 from stereoslam_tpu.ops.image import build_pyramid, gaussian_blur
 from stereoslam_tpu.ops.lm import optimize_pose
@@ -89,10 +89,9 @@ def _pyramid_orb(img: jnp.ndarray, feat_xy: jnp.ndarray, feat_valid: jnp.ndarray
             & (xy_l[:, 1] >= margin)
             & (xy_l[:, 1] < h - margin)
         )
-        corner_mask, _ = fast_response(level_img, float(cfg.features.min_th_fast))
-        xi = jnp.clip(jnp.round(xy_l[:, 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(xy_l[:, 1]).astype(jnp.int32), 0, h - 1)
-        is_corner = corner_mask[yi, xi]
+        is_corner = fast_corner_check_at(
+            level_img, xy_l, float(cfg.features.min_th_fast)
+        )
         ok = feat_valid & in_border & is_corner
 
         blurred = gaussian_blur(level_img)

@@ -178,6 +178,30 @@ def detect_keypoints(
     return Keypoints(xy=xy, score=jnp.where(valid, resp, 0.0), valid=valid)
 
 
+def fast_corner_check_at(
+    img: jnp.ndarray, xy: jnp.ndarray, threshold: float
+) -> jnp.ndarray:
+    """FAST-9 cornerness test at sparse positions only.
+
+    The loop closer screens ~N*levels pyramid-expanded keypoints for
+    cornerness (reference ScreenAndComputeKPsParams -> isFastCorner,
+    ORBextractor.cpp:449-511).  Evaluating full-image response maps for that
+    costs 16 rolled copies of every level image; testing just the keypoints
+    via one 7x7 patch gather per point is far cheaper.
+
+    Returns (N,) bool.
+    """
+    from stereoslam_tpu.ops.image import extract_patches
+
+    patches = extract_patches(img, xy, 3)  # (N, 7, 7), centre at (3, 3)
+    center = patches[:, 3, 3]
+    ring = jnp.stack([patches[:, 3 + dy, 3 + dx] for (dx, dy) in _CIRCLE], axis=0)
+    d = ring - center[None, :]
+    bright = _contiguous_arc(d[:, :, None] > threshold)[:, 0]
+    dark = _contiguous_arc(d[:, :, None] < -threshold)[:, 0]
+    return bright | dark
+
+
 def forbid_mask_from_points(
     h: int, w: int, xy: jnp.ndarray, valid: jnp.ndarray, radius: int = 10
 ) -> jnp.ndarray:

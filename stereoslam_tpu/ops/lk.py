@@ -135,6 +135,7 @@ def pyramidal_lk(
     eps: float = 0.01,
     max_error: float = 30.0,
     forward_backward: float = 0.0,
+    fb_iters: int = 10,
 ) -> FlowResult:
     """Track points from ``pyr_prev`` to ``pyr_next``.
 
@@ -199,10 +200,12 @@ def pyramidal_lk(
 
     if forward_backward > 0.0:
         # Backward init = zero flow (NOT the known start, which would bias
-        # the check toward confirming the forward result).
+        # the check toward confirming the forward result).  Fewer iterations
+        # suffice: the backward pass only has to land in the right basin,
+        # not converge to sub-pixel precision.
         back = pyramidal_lk(
             pyr_next, pyr_prev, pts_next, pts_next,
-            window=window, iters=iters, eps=eps, max_error=max_error,
+            window=window, iters=fb_iters, eps=eps, max_error=max_error,
             forward_backward=0.0,
         )
         round_trip = jnp.linalg.norm(back.points - pts_prev, axis=-1)
