@@ -71,10 +71,18 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> Tuple
 
 
 def halve(img: jnp.ndarray) -> jnp.ndarray:
-    """2x downsample by 2x2 averaging (the classic LK pyramid reduction)."""
+    """2x downsample by 2x2 averaging (the classic LK pyramid reduction).
+
+    TPU note: lane-strided slicing (``img[:, 0::2]``) lowers to expensive
+    lane shuffles, so rows are paired with a sublane-cheap reshape-sum and
+    columns with a two-hot averaging matmul on the MXU.
+    """
     h2, w2 = img.shape[0] // 2, img.shape[1] // 2
     img = img[: h2 * 2, : w2 * 2]
-    return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2])
+    rows = img.reshape(h2, 2, w2 * 2).sum(axis=1)          # (h2, 2*w2)
+    cols = jnp.arange(2 * w2, dtype=jnp.int32)[:, None] // 2
+    Dw = 0.25 * (cols == jnp.arange(w2, dtype=jnp.int32)[None, :]).astype(img.dtype)
+    return jnp.dot(rows, Dw, precision=jax.lax.Precision.HIGHEST)
 
 
 def build_lk_pyramid(img: jnp.ndarray, n_levels: int) -> Tuple[jnp.ndarray, ...]:

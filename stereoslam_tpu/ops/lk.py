@@ -29,21 +29,22 @@ class FlowResult(NamedTuple):
     error: jnp.ndarray   # (N,) float32 mean |residual| over the window
 
 
-def _use_pallas_kernel(window: int) -> bool:
-    """TPU runs the Pallas per-feature window kernel (ops/lk_pallas.py) —
-    the jnp gather formulation costs ~270 ms/frame there.  CPU keeps the
-    jnp path (the kernel's interpret mode is for tests).  Override with
-    STEREOSLAM_LK=jnp|pallas."""
+def _level_impl(window: int) -> str:
+    """Select the per-level implementation.  Default is the batched one-hot
+    matmul formulation (ops/lk_batched.py) — measured ~20x faster than the
+    per-feature Pallas window kernel on v5e (which is itself ~8x faster than
+    the jnp gather path there).  Override with STEREOSLAM_LK=jnp|pallas|batched.
+    """
     import os
 
     impl = os.environ.get("STEREOSLAM_LK", "auto")
-    if impl == "jnp":
-        return False
-    if impl == "pallas":
-        return True
+    if impl in ("jnp", "pallas", "batched"):
+        return impl
     from stereoslam_tpu.ops import lk_pallas
 
-    return window == lk_pallas.WINDOW and jax.default_backend() != "cpu"
+    if window != lk_pallas.WINDOW:
+        return "jnp"
+    return "batched"
 
 
 @functools.lru_cache(maxsize=8)
@@ -162,17 +163,23 @@ def pyramidal_lk(
     flow = (pts_init - pts_prev) / top
     good_all = jnp.ones(pts_prev.shape[0], bool)
 
-    use_pallas = _use_pallas_kernel(window)
-    if use_pallas:
+    impl = _level_impl(window)
+    if impl == "pallas":
         from stereoslam_tpu.ops.lk_pallas import lk_level_pallas
+    elif impl == "batched":
+        from stereoslam_tpu.ops.lk_batched import track_level_batched
 
     for lvl in range(n_levels - 1, -1, -1):
         scale = float(2**lvl)
         pts_l = pts_prev / scale
-        if use_pallas:
+        if impl == "pallas":
             flow, good = lk_level_pallas(
                 pyr_prev[lvl], pyr_next[lvl], pts_l, flow, iters=iters, eps=eps,
                 interpret=jax.default_backend() == "cpu",
+            )
+        elif impl == "batched":
+            flow, good = track_level_batched(
+                pyr_prev[lvl], pyr_next[lvl], pts_l, flow, window, iters, eps
             )
         else:
             flow, good = _track_level(
@@ -195,7 +202,12 @@ def pyramidal_lk(
         & (pts_next[:, 1] >= margin)
         & (pts_next[:, 1] < h - margin)
     )
-    err = _final_error(pyr_prev[0], pyr_next[0], pts_prev, flow, window)
+    if impl == "batched":
+        from stereoslam_tpu.ops.lk_batched import final_error_batched
+
+        err = final_error_batched(pyr_prev[0], pyr_next[0], pts_prev, flow, window)
+    else:
+        err = _final_error(pyr_prev[0], pyr_next[0], pts_prev, flow, window)
     status = good_all & in_bounds & (err < max_error)
 
     if forward_backward > 0.0:
