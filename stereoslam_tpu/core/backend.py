@@ -101,19 +101,19 @@ def optimize_active_map(map_state: MapState, intr: Intrinsics, cfg: SlamConfig) 
     kf_feat_lm = map_state.kf_feat_lm.at[kf_scatter].set(new_feat_lm_rows, mode="drop")
 
     # ---- orphan landmarks -> outliers (backend.cpp:243-247): a landmark with
-    # no remaining observation anywhere is dead.  Count over ALL keyframes.
-    all_lm = jnp.where(
-        map_state.kf_feat_valid & (kf_feat_lm >= 0), kf_feat_lm, L
-    ).reshape(-1)
-    obs_count = jax.ops.segment_sum(
-        jnp.ones_like(all_lm, dtype=jnp.int32), all_lm, num_segments=L + 1
-    )[:L]
-    orphan = map_state.lm_valid & (obs_count == 0)
+    # no remaining observation anywhere is dead.  Counts are maintained
+    # incrementally (insert_keyframe adds, unlinking subtracts) so this is a
+    # window-sized scatter, not a rescan of every keyframe row.
+    dec_target = jnp.where(outlier_obs, lm_safe, L).reshape(-1)
+    lm_obs_count = map_state.lm_obs_count.at[dec_target].add(-1, mode="drop")
+    lm_obs_count = jnp.maximum(lm_obs_count, 0)
+    orphan = map_state.lm_valid & (lm_obs_count == 0)
     lm_outlier = map_state.lm_outlier | orphan
 
     return map_state._replace(
         kf_T_cw=kf_T_cw,
         lm_pos=lm_pos,
         kf_feat_lm=kf_feat_lm,
+        lm_obs_count=lm_obs_count,
         lm_outlier=lm_outlier,
     )

@@ -30,10 +30,14 @@ import jax.numpy as jnp
 
 from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.core.state import (
+    LOST,
+    TRACKING_BAD,
+    TRACKING_GOOD,
     FrontendState,
     MapState,
     TrackState,
 )
+from stereoslam_tpu.ops.image import build_lk_pyramid
 from stereoslam_tpu.ops import se3
 from stereoslam_tpu.ops.camera import Intrinsics, stereo_right_pose, world2pixel
 from stereoslam_tpu.ops.fast import detect_keypoints, forbid_mask_from_points
@@ -305,6 +309,14 @@ def insert_keyframe(
     prev_pose = map_state.kf_T_cw[jnp.maximum(prev_id, 0)]
     rel_prev = T_cw @ se3.inv(prev_pose)
 
+    # Register this KF's observations on its landmarks (the reference's
+    # MapPoint::AddObservation per feature, keyframe.cpp:40-46) — counts are
+    # maintained incrementally so the backend's orphan check is O(window).
+    linked = tracks.valid & (tracks.lm_idx >= 0)
+    L = map_state.capacity_lm
+    obs_target = jnp.where(linked, tracks.lm_idx, L)
+    lm_obs_count = map_state.lm_obs_count.at[obs_target].add(1, mode="drop")
+
     m = map_state._replace(
         kf_T_cw=map_state.kf_T_cw.at[kf_id].set(T_cw),
         kf_timestamp=map_state.kf_timestamp.at[kf_id].set(timestamp),
@@ -317,6 +329,7 @@ def insert_keyframe(
         kf_feat_valid=map_state.kf_feat_valid.at[kf_id].set(tracks.valid),
         kf_prev=map_state.kf_prev.at[kf_id].set(prev_id),
         kf_rel_prev=map_state.kf_rel_prev.at[kf_id].set(rel_prev),
+        lm_obs_count=lm_obs_count,
         n_kf=map_state.n_kf + 1,
     )
 
@@ -374,6 +387,75 @@ def stereo_init_step(
     )
     new_fs = fs._replace(tracks=tracks, ref_kf=kf_id, T_rk=se3.identity())
     return new_fs, map_state, kf_id, n_new
+
+
+def frame_step(
+    left_f32: jnp.ndarray,
+    right_f32_fn,
+    pyr_prev: Sequence[jnp.ndarray],
+    fs: FrontendState,
+    map_state: MapState,
+    intr_left: Intrinsics,
+    intr_right: Intrinsics,
+    baseline: float,
+    timestamp: jnp.ndarray,
+    cfg: SlamConfig,
+) -> Tuple[FrontendState, MapState, Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """One fully-fused tracked frame: pyramid + LK + pose LM + status + the
+    keyframe decision AND creation, all on device.
+
+    This is the pipelining keystone: the reference decides keyframes on the
+    host thread between OpenCV calls (frontend.cpp:97-119); a literal port
+    would force a device->host sync per frame, which costs a full RTT on a
+    tunneled TPU.  Keeping the decision in-program (`lax.cond` on the inlier
+    count) lets the host enqueue frames back-to-back and read the outcome
+    several frames late without affecting the result: the KF branch runs for
+    exactly the frame that triggered it, synchronously in stream order.
+
+    ``right_f32_fn`` is a thunk returning the preprocessed right image —
+    called only inside the KF branch, so the right pyramid is built only on
+    keyframe frames (as in the reference, where FindFeaturesInRight runs
+    only then).
+
+    Returns (fs, map, pyr_left, counts) with counts = int32
+    [num_inliers, num_tracked, status, kf_id_or_-1].
+    """
+    lk_levels = cfg.tracking.lk_levels
+    pyr = build_lk_pyramid(left_f32, lk_levels)
+    out = track_step(fs, map_state, pyr_prev, pyr, intr_left, cfg)
+
+    f = cfg.features
+    n_inl = out.num_inliers
+    status = jnp.where(
+        n_inl > f.num_features_tracking_good,
+        jnp.int32(TRACKING_GOOD),
+        jnp.where(
+            n_inl > f.num_features_tracking_bad,
+            jnp.int32(TRACKING_BAD),
+            jnp.int32(LOST),
+        ),
+    )
+    fs2 = out.state._replace(status=status)
+
+    def kf_branch(args):
+        fs_in, m_in = args
+        pyr_right = build_lk_pyramid(right_f32_fn(), lk_levels)
+        return make_keyframe_step(
+            left_f32, pyr, pyr_right, fs_in, m_in,
+            intr_left, intr_right, baseline, timestamp, cfg,
+        )
+
+    def no_kf(args):
+        fs_in, m_in = args
+        return fs_in, m_in, jnp.int32(-1)
+
+    fs3, m3, kf_id = jax.lax.cond(
+        status == TRACKING_BAD, kf_branch, no_kf, (fs2, map_state)
+    )
+    counts = jnp.stack(
+        [n_inl, out.num_tracked, status, jnp.where(status == TRACKING_BAD, kf_id, -1)]
+    ).astype(jnp.int32)
+    return fs3, m3, pyr, counts
 
 
 def make_keyframe_step(

@@ -23,10 +23,11 @@ values-in/values-out; the caller orders them.  The 5-KF insertion cooldown
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.core.state import LoopState, MapState
@@ -47,6 +48,12 @@ class DetectResult(NamedTuple):
     found: jnp.ndarray     # () bool
     loop_kf: jnp.ndarray   # () int32
     max_score: jnp.ndarray  # () float32
+
+
+def _pack_f32(*scalars) -> jnp.ndarray:
+    """Stack decision scalars into one small f32 vector so the host reads
+    them with a single transfer (0-d fetches each cost a tunnel RTT)."""
+    return jnp.stack([jnp.asarray(s).astype(jnp.float32) for s in scalars])
 
 
 class VerifyResult(NamedTuple):
@@ -125,6 +132,19 @@ class LoopCloser:
         self._jit_verify = jax.jit(self._verify_impl)
         self._jit_correct = jax.jit(self._correct_impl)
         self._jit_remap = jax.jit(lambda lm_idx, remap: jnp.where(lm_idx >= 0, remap[jnp.maximum(lm_idx, 0)], lm_idx))
+        # Host mirrors of the scalar decision state.  Every device->host
+        # scalar fetch over a tunneled TPU costs a full round trip, so the
+        # cooldown counter and database size — both driven purely by host
+        # control flow — are tracked here instead of being re-fetched from
+        # LoopState each keyframe.  (LoopState keeps the canonical copies for
+        # checkpointing; sync_host_counters() re-seeds after a restore.)
+        self._host_last_closed: Optional[int] = None
+        self._host_db_size: int = 0
+
+    def sync_host_counters(self, loop: LoopState) -> None:
+        """Re-seed the host-side decision counters from a (restored) state."""
+        self._host_last_closed = int(np.asarray(loop.last_closed_kf.reshape(1))[0])
+        self._host_db_size = int(np.asarray(jnp.sum(loop.db_valid.astype(jnp.int32)).reshape(1))[0])
 
     # ------------------------------------------------------------------
     def _process_impl(self, map_state: MapState, loop: LoopState, img, kf_id):
@@ -147,9 +167,11 @@ class LoopCloser:
         """Descriptor extraction for a new KF (ProcessNewKF).  The 5-KF
         cooldown after a closed loop skips processing entirely
         (loopclosing.cpp:674-679)."""
-        if int(kf_id) - int(loop.last_closed_kf) <= self.cfg.loop.insertion_cooldown:
+        if self._host_last_closed is None:
+            self.sync_host_counters(loop)
+        if int(kf_id) - self._host_last_closed <= self.cfg.loop.insertion_cooldown:
             return loop
-        return self._jit_process(map_state, loop, img, kf_id)
+        return self._jit_process(map_state, loop, img, jnp.int32(int(kf_id)))
 
     # ------------------------------------------------------------------
     def _detect_impl(self, loop: LoopState, kf_id):
@@ -167,7 +189,8 @@ class LoopCloser:
             found = (res.best_score >= cfg.similarity_high) & (
                 res.n_suspect <= cfg.max_above_low
             )
-            return DetectResult(found=found, loop_kf=res.best_id, max_score=res.best_score)
+            det = DetectResult(found=found, loop_kf=res.best_id, max_score=res.best_score)
+            return det, _pack_f32(det.found, det.loop_kf, det.max_score)
         scores = loop.deep_db @ d  # (K,) one matmul — the whole linear scan
         ids = jnp.arange(scores.shape[0], dtype=jnp.int32)
         eligible = loop.db_valid & ((kf_id - ids) >= cfg.id_gap)
@@ -176,7 +199,8 @@ class LoopCloser:
         max_score = scores[best]
         n_suspect = jnp.sum((scores > cfg.similarity_low).astype(jnp.int32))
         found = (max_score >= cfg.similarity_high) & (n_suspect <= cfg.max_above_low)
-        return DetectResult(found=found, loop_kf=best, max_score=max_score)
+        det = DetectResult(found=found, loop_kf=best, max_score=max_score)
+        return det, _pack_f32(det.found, det.loop_kf, det.max_score)
 
     # ------------------------------------------------------------------
     def _verify_impl(self, map_state: MapState, loop: LoopState, kf_id, loop_kf, key):
@@ -278,6 +302,7 @@ class LoopCloser:
                 match_loop_feat=match_final,
                 num_inliers=refined.num_inliers,
             ),
+            _pack_f32(enough, need_correct),
             map_out,
         )
 
@@ -365,9 +390,24 @@ class LoopCloser:
         lm_valid = map_state.lm_valid.at[jnp.where(dup_lm >= 0, dup_lm, L)].set(
             False, mode="drop"
         )
+        # Observation-count bookkeeping for the merge: the duplicate's
+        # observations transfer to the surviving loop landmark, and adopted
+        # features add one observation each (MapPoint::AddObservation /
+        # RemoveObservation in loopclosing.cpp:515-529).
+        cnt = map_state.lm_obs_count
+        dup_safe = jnp.where(dup_lm >= 0, dup_lm, L)
+        tgt_safe = jnp.where(dup_lm >= 0, jnp.maximum(loop_lm_of_pair, 0), L)
+        moved = jnp.where(dup_lm >= 0, cnt[jnp.maximum(dup_lm, 0)], 0)
+        cnt = cnt.at[tgt_safe].add(moved, mode="drop")
+        cnt = cnt.at[dup_safe].set(0, mode="drop")
+        adopt = merge & (cur_lm_row < 0)
+        cnt = cnt.at[jnp.where(adopt, jnp.maximum(loop_lm_of_pair, 0), L)].add(
+            1, mode="drop"
+        )
 
         m1 = map_state._replace(
-            kf_T_cw=kf_T_cw, lm_pos=lm_pos, kf_feat_lm=kf_feat_lm, lm_valid=lm_valid
+            kf_T_cw=kf_T_cw, lm_pos=lm_pos, kf_feat_lm=kf_feat_lm,
+            lm_valid=lm_valid, lm_obs_count=cnt,
         )
 
         # ---- 5. global pose-graph optimization (loopclosing.cpp:537-646)
@@ -426,39 +466,51 @@ class LoopCloser:
 
         Returns (map, loop, closed, loop_kf_id).  Mirrors the control flow of
         LoopClosingRun (loopclosing.cpp:52-80) with host branches on scalars.
+        Host round trips are minimized for a tunneled TPU: the cooldown and
+        database-size branches use host-mirrored counters (zero fetches), and
+        detection/verification each cost exactly one packed-array fetch.
         """
         cfg = self.cfg.loop
-        if int(kf_id) - int(loop.last_closed_kf) <= cfg.insertion_cooldown:
+        kf_id = int(kf_id)
+        if self._host_last_closed is None:
+            self.sync_host_counters(loop)
+        if kf_id - self._host_last_closed <= cfg.insertion_cooldown:
             return map_state, loop, False, -1
 
-        db_size = int(jnp.sum(loop.db_valid.astype(jnp.int32)))
-        if db_size <= cfg.database_min_size:
-            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
-            return map_state, loop, False, -1
+        def add_to_db(lp: LoopState) -> LoopState:
+            self._host_db_size += 1
+            return lp._replace(db_valid=lp.db_valid.at[kf_id].set(True))
 
-        det = self._jit_detect(loop, kf_id)
-        if not bool(det.found):
-            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
-            return map_state, loop, False, -1
+        if self._host_db_size <= cfg.database_min_size:
+            return map_state, add_to_db(loop), False, -1
+
+        det, det_packed = self._jit_detect(loop, jnp.int32(kf_id))
+        dp = np.asarray(det_packed)  # ONE fetch: [found, loop_kf, max_score]
+        if not bool(dp[0]):
+            return map_state, add_to_db(loop), False, -1
+        loop_kf = int(dp[1])
 
         self._key, sub = jax.random.split(self._key)
-        verify, map_state = self._jit_verify(map_state, loop, kf_id, det.loop_kf, sub)
-        if not bool(verify.verified):
-            loop = loop._replace(db_valid=loop.db_valid.at[int(kf_id)].set(True))
-            return map_state, loop, False, -1
+        verify, verify_packed, map_state = self._jit_verify(
+            map_state, loop, jnp.int32(kf_id), det.loop_kf, sub
+        )
+        vp = np.asarray(verify_packed)  # ONE fetch: [verified, need_correct]
+        if not bool(vp[0]):
+            return map_state, add_to_db(loop), False, -1
 
         # Confirmed: cooldown starts now even if correction is skipped
         # (ComputeCorrectPose sets _mpLastClosedKF on success, loopclosing.cpp:331).
-        loop = loop._replace(last_closed_kf=kf_id)
-        if bool(verify.need_correct):
+        self._host_last_closed = kf_id
+        loop = loop._replace(last_closed_kf=jnp.int32(kf_id))
+        if bool(vp[1]):
             map_state, loop, remap = self._jit_correct(
-                map_state, loop, kf_id, det.loop_kf,
+                map_state, loop, jnp.int32(kf_id), det.loop_kf,
                 verify.T_corrected, verify.match_loop_feat,
             )
             self._last_remap = remap
         else:
             self._last_remap = None
-        return map_state, loop, True, int(det.loop_kf)
+        return map_state, loop, True, loop_kf
 
     def remap_tracks(self, lm_idx: jnp.ndarray) -> jnp.ndarray:
         """Apply the last correction's landmark merge to frontend tracks."""

@@ -75,6 +75,9 @@ class MapState(NamedTuple):
     lm_valid: jnp.ndarray       # (L,) bool
     lm_outlier: jnp.ndarray     # (L,) bool
     lm_first_kf: jnp.ndarray    # (L,) i32 — first observing KF (BA gauge + loop realign)
+    lm_obs_count: jnp.ndarray   # (L,) i32 — total KF observations (mappoint.h:49 observation
+                                # list size, kept incrementally so the backend's orphan check
+                                # never rescans every keyframe row)
     n_lm: jnp.ndarray           # () i32
     # Active window (map.h:51-57)
     active_kf: jnp.ndarray      # (W,) i32, -1 for empty, ordered oldest->newest
@@ -145,6 +148,7 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         lm_valid=jnp.zeros((L,), bool),
         lm_outlier=jnp.zeros((L,), bool),
         lm_first_kf=jnp.full((L,), -1, jnp.int32),
+        lm_obs_count=jnp.zeros((L,), jnp.int32),
         n_lm=jnp.int32(0),
         active_kf=jnp.full((W,), -1, jnp.int32),
         n_active=jnp.int32(0),

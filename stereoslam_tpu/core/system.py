@@ -61,9 +61,13 @@ class StereoSlam:
         enable_backend: bool = True,
         enable_loop: bool = True,
         mesh=None,
+        readback_lag: Optional[int] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the loop-closure
-        descriptor search and global pose graph over its "model" axis."""
+        descriptor search and global pose graph over its "model" axis.
+        ``readback_lag``: frames of pipelined frame-outcome readback
+        (default: 0 on CPU, 6 on accelerators; env STEREOSLAM_PIPELINE_LAG
+        overrides)."""
         cfg.validate()
         self.cfg = cfg
         self.enable_backend = enable_backend
@@ -81,6 +85,22 @@ class StereoSlam:
         self._loop_edges: List[Tuple[int, int]] = []
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
         self.profiler = Profiler()
+        # Frame-outcome readback lag (see process_frame).  On an accelerator
+        # a synchronous readback costs a full host<->device round trip per
+        # frame, so outcomes are read a few frames late; on CPU the round
+        # trip is free and lag 0 keeps exactly-synchronous semantics (LOST
+        # reported on the frame that lost).
+        if readback_lag is not None:
+            self.readback_lag = int(readback_lag)
+        else:
+            import os
+
+            env = os.environ.get("STEREOSLAM_PIPELINE_LAG")
+            if env is not None:
+                self.readback_lag = int(env)
+            else:
+                self.readback_lag = 0 if jax.default_backend() == "cpu" else 6
+        self._inflight: List[tuple] = []
 
         lk_levels = cfg.tracking.lk_levels
         # Optional image undistortion (reference camera.cpp:36-48), fused
@@ -110,33 +130,23 @@ class StereoSlam:
         self._jit_img_f32 = jax.jit(self._pre_left)
         self._status = INITING
 
-        def _track_fused(fs, m, pyr_prev, left_u8):
-            # Pyramid construction fused into the tracking program: one
-            # dispatch per frame, and the new pyramid is returned for reuse
-            # as next frame's "previous".
-            pyr = build_lk_pyramid(self._pre_left(left_u8), lk_levels)
-            return frontend_mod.track_step(fs, m, pyr_prev, pyr, self.intr_left, cfg), pyr
-
-        self._jit_track_fused = jax.jit(_track_fused)
-        self._jit_track = jax.jit(
-            partial(
-                frontend_mod.track_step,
-                intr=self.intr_left,
-                cfg=cfg,
+        def _frame(fs, m, pyr_prev, left_u8, right_u8, ts):
+            # The entire tracked frame — pyramid, LK, pose LM, status, and
+            # the conditional keyframe creation — as ONE device program.
+            # The host never syncs inside the frame loop; outcomes are read
+            # back ``readback_lag`` frames later (see process_frame).
+            left_f32 = self._pre_left(left_u8)
+            return frontend_mod.frame_step(
+                left_f32,
+                lambda: self._pre_right(right_u8),
+                pyr_prev, fs, m,
+                self.intr_left, self.intr_right, self.baseline, ts, cfg,
             )
-        )
+
+        self._jit_frame = jax.jit(_frame)
         self._jit_stereo_init = jax.jit(
             partial(
                 frontend_mod.stereo_init_step,
-                intr_left=self.intr_left,
-                intr_right=self.intr_right,
-                baseline=self.baseline,
-                cfg=cfg,
-            )
-        )
-        self._jit_make_kf = jax.jit(
-            partial(
-                frontend_mod.make_keyframe_step,
                 intr_left=self.intr_left,
                 intr_right=self.intr_right,
                 baseline=self.baseline,
@@ -156,6 +166,13 @@ class StereoSlam:
 
         Returns False once tracking is LOST (the reference quits then,
         frontend.cpp:64-67 — relocalization is an explicit non-goal there).
+
+        Pipelined operation: the fused frame program (including the keyframe
+        decision) is enqueued without any device sync; its outcome scalars
+        are read back ``readback_lag`` frames later, by which point the
+        device has long finished them — so the host loop runs at device
+        throughput instead of one tunnel round-trip per frame.  With lag 0
+        (the CPU/test default) semantics are exactly synchronous.
         """
         if self._status == LOST:
             return False
@@ -188,51 +205,52 @@ class StereoSlam:
             return True
 
         self._poll_async()
+        right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
         with self.profiler.stage("track"):
-            out, pyr_left = self._jit_track_fused(
-                self.fs, self.map, self._pyr_prev, left_u8
+            fs, m, pyr_left, counts = self._jit_frame(
+                self.fs, self.map, self._pyr_prev, left_u8, right_u8, ts
             )
-            counts = np.asarray(out.counts)  # single host pull for both scalars
-        n_inliers = int(counts[0])
-        self.metrics["num_inliers"].append(n_inliers)
-        self.metrics["num_tracked"].append(int(counts[1]))
-        rec.num_inliers, rec.num_tracked = n_inliers, int(counts[1])
-        self.fs = out.state
-
-        f = self.cfg.features
-        if n_inliers > f.num_features_tracking_good:
-            self._status = TRACKING_GOOD
-        elif n_inliers > f.num_features_tracking_bad:
-            self._status = TRACKING_BAD
-        else:
-            self._status = LOST
-
-        if self._status == LOST:
-            log.warning("tracking LOST at frame %d (%d inliers)", self._frame_count, n_inliers)
-            rec.status = self._status
-            self.profiler.end_frame()
-            self._pyr_prev = pyr_left
-            self._frame_count += 1
-            return False
-
-        if self._status == TRACKING_BAD:
-            # Tracking got weak -> new keyframe (frontend.cpp:111-119).
-            self._flush_pending_ba()
-            left_f32 = self._jit_img_f32(left_u8)
-            right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
-            pyr_right = self._jit_pyr_right(right_u8)
-            with self.profiler.stage("make_kf"):
-                self.fs, self.map, kf_id = self._jit_make_kf(
-                    left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
-                )
-            rec.keyframe_id = int(kf_id)
-            self._after_keyframe(left_f32, pyr_left, int(kf_id))
-
+        if hasattr(counts, "copy_to_host_async"):
+            counts.copy_to_host_async()
+        self.fs, self.map, self._pyr_prev = fs, m, pyr_left
+        self._inflight.append((self._frame_count, counts, left_u8, pyr_left))
+        self._frame_count += 1
+        while len(self._inflight) > self.readback_lag:
+            self._retire(*self._inflight.pop(0))
+            if self._status == LOST:
+                break
         rec.status = self._status
         self.profiler.end_frame()
-        self._pyr_prev = pyr_left
-        self._frame_count += 1
-        return True
+        return self._status != LOST
+
+    # ------------------------------------------------------------------
+    def _retire(self, frame_idx: int, counts, left_u8, pyr_left) -> None:
+        """Process the (lagged) outcome of an already-enqueued frame: record
+        metrics, update host-visible status, and launch the per-keyframe work
+        (BA + loop closing) if that frame created one."""
+        c = np.asarray(counts)
+        n_inliers, n_tracked, status, kf_id = (int(x) for x in c)
+        self.metrics["num_inliers"].append(n_inliers)
+        self.metrics["num_tracked"].append(n_tracked)
+        self._status = status
+        if status == LOST:
+            log.warning(
+                "tracking LOST at frame %d (%d inliers)", frame_idx, n_inliers
+            )
+            return
+        if kf_id >= 0:
+            if self.profiler._current is not None:
+                self.profiler._current.keyframe_id = kf_id
+            self._flush_pending_ba()
+            left_f32 = self._jit_img_f32(left_u8)
+            self._after_keyframe(left_f32, pyr_left, kf_id)
+
+    def _drain(self) -> None:
+        """Retire every in-flight frame (used before reading map state)."""
+        while self._inflight:
+            self._retire(*self._inflight.pop(0))
+            if self._status == LOST:
+                self._inflight.clear()
 
     # ------------------------------------------------------------------
     def _after_keyframe(self, left, pyr_left, kf_id: int) -> None:
@@ -248,7 +266,7 @@ class StereoSlam:
         """
         if self.enable_loop:
             self.loop = self._loop_closer.process_keyframe(
-                self.map, self.loop, left, pyr_left, jnp.int32(kf_id)
+                self.map, self.loop, left, pyr_left, int(kf_id)
             )
         if self.enable_backend:
             if self.async_ba:
@@ -264,7 +282,7 @@ class StereoSlam:
         # (the reference pauses the backend here, loopclosing.cpp:445-449).
         self._flush_pending_ba()
         self.map, self.loop, closed, loop_kf = self._loop_closer.detect_and_correct(
-            self.map, self.loop, jnp.int32(kf_id)
+            self.map, self.loop, int(kf_id)
         )
         if closed:
             self._loop_edges.append((kf_id, int(loop_kf)))
@@ -313,6 +331,7 @@ class StereoSlam:
     # ------------------------------------------------------------------
     def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(kf_ids, timestamps, T_cw) for all valid keyframes."""
+        self._drain()
         self._flush_pending_ba()
         n = int(self.map.n_kf)
         ids = np.arange(n)
@@ -338,6 +357,7 @@ class StereoSlam:
         capability the reference lacks entirely (SURVEY.md §5)."""
         from stereoslam_tpu.utils import checkpoint as ckpt
 
+        self._drain()
         self._flush_pending_ba()
         fs = self.fs._replace(status=jnp.int32(self._status))
         return ckpt.save_checkpoint(path, fs, self.map, self.loop, pyr=self._pyr_prev)
@@ -348,3 +368,6 @@ class StereoSlam:
         self.fs, self.map, self.loop, pyr = ckpt.load_checkpoint(path)
         self._status = int(self.fs.status)
         self._pyr_prev = pyr
+        self._inflight = []
+        if self.enable_loop:
+            self._loop_closer.sync_host_counters(self.loop)

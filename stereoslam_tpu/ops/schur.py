@@ -138,7 +138,7 @@ def solve_window_ba(
     iters: int = 10,
     chi2_threshold: float = 5.991,
     huber_delta: float = 5.991,
-    damping0: float = 1e-4,
+    damping0: float = 1e-3,
 ) -> BAResult:
     """Windowed BA with the reference's outlier schedule."""
     W, N = prob.obs_valid.shape
@@ -156,6 +156,19 @@ def solve_window_ba(
         r = prob.obs_px - px_hat
         return jnp.sum(r * r, axis=-1)
 
+    # Slot-selection matrices for the landmark reductions.  segment_sum
+    # lowers to scatter-add on TPU (serialized, slow); the same reduction as
+    # a one-hot matmul runs on the MXU and — being iteration-invariant — is
+    # built once here and reused by every LM iteration.
+    flat_lm_all = prob.obs_lm.reshape(-1)                              # (W*N,)
+    sel_flat = (
+        flat_lm_all[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None]
+    ).astype(prob.lm_pos.dtype)                                        # (C, W*N)
+    sel_row = (
+        prob.obs_lm[:, None, :] == jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    ).astype(prob.lm_pos.dtype)                                        # (W, C, N)
+    _pex = jax.lax.Precision.HIGHEST  # exact 0/1 selection
+
     def lm_iter(carry, _):
         cam_T, lm_pos, inlier, lam = carry
         px_hat, J_c, J_p = _project_all(cam_T, lm_pos, prob.obs_lm, intr)
@@ -170,18 +183,17 @@ def solve_window_ba(
         B = jnp.einsum("wnki,wn,wnkj->wij", J_c, wgt, J_c)
         b_c = jnp.einsum("wnki,wn,wnk->wi", J_c, wgt, r)
 
-        # Landmark blocks via segment-sum over slots.
-        flat_lm = prob.obs_lm.reshape(-1)
-        JtJ_p = jnp.einsum("wnki,wn,wnkj->wnij", J_p, wgt, J_p).reshape(-1, 3, 3)
+        # Landmark blocks via one-hot matmul over slots (MXU, not scatter).
+        JtJ_p = jnp.einsum("wnki,wn,wnkj->wnij", J_p, wgt, J_p).reshape(-1, 9)
         Jtr_p = jnp.einsum("wnki,wn,wnk->wni", J_p, wgt, r).reshape(-1, 3)
-        C_blk = jax.ops.segment_sum(JtJ_p, flat_lm, num_segments=C)
-        b_p = jax.ops.segment_sum(Jtr_p, flat_lm, num_segments=C)
+        C_blk = jnp.einsum("cm,mf->cf", sel_flat, JtJ_p, precision=_pex).reshape(C, 3, 3)
+        b_p = jnp.einsum("cm,mf->cf", sel_flat, Jtr_p, precision=_pex)
 
-        # Camera-landmark strip E (W, C, 6, 3): per window row, segment over N.
+        # Camera-landmark strip E (W, C, 6, 3): per window row, reduce over N.
         JcJp = jnp.einsum("wnki,wn,wnkj->wnij", J_c, wgt, J_p)  # (W, N, 6, 3)
-        E = jax.vmap(
-            lambda blocks, segs: jax.ops.segment_sum(blocks, segs, num_segments=C)
-        )(JcJp, prob.obs_lm)
+        E = jnp.einsum(
+            "wcn,wnf->wcf", sel_row, JcJp.reshape(W, N, 18), precision=_pex
+        ).reshape(W, C, 6, 3)
 
         # Damp; fixed/invalid landmarks contribute as constants: C^-1 = 0.
         C_damped = C_blk + lam * jnp.eye(3, dtype=C_blk.dtype)
@@ -224,25 +236,41 @@ def solve_window_ba(
         ok = cost_new < cost_old
         cam_T = jnp.where(ok, cam_T_new, cam_T)
         lm_pos = jnp.where(ok, lm_new, lm_pos)
-        lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e3))
+        # Accepted steps decay damping fast toward Gauss-Newton (quadratic
+        # convergence); rejections raise it hard so the very next retry is
+        # already conservative — the 0.5/4 schedule measured 2-3 wasted
+        # iterations per stall.
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-8), jnp.minimum(lam * 10.0, 1e3))
         return (cam_T, lm_pos, inlier, lam), None
 
-    def one_round(carry, _):
-        cam_T, lm_pos, inlier, lam = carry
+    # The reference's round schedule stops once the inlier ratio clears 0.5
+    # (backend.cpp:212-232) — in practice after 1-2 of the 5 allowed rounds.
+    # A while_loop keeps that early exit on device (no host sync).
+    n_base = jnp.maximum(jnp.sum(base_valid.astype(jnp.int32)), 1)
+
+    def round_cond(carry):
+        _, _, _, _, rnd, done = carry
+        return jnp.logical_and(rnd < rounds, jnp.logical_not(done))
+
+    def one_round(carry):
+        cam_T, lm_pos, inlier, lam, rnd, _ = carry
         (cam_T, lm_pos, inlier, lam), _ = jax.lax.scan(
             lm_iter, (cam_T, lm_pos, inlier, lam), None, length=iters
         )
         chi2 = chi2_of(cam_T, lm_pos)
         inlier = base_valid & (chi2 <= chi2_threshold)
-        return (cam_T, lm_pos, inlier, lam), None
+        ratio = jnp.sum(inlier.astype(jnp.float32)) / n_base.astype(jnp.float32)
+        return (cam_T, lm_pos, inlier, lam, rnd + 1, ratio > 0.5)
 
     init = (
         prob.cam_T,
         prob.lm_pos,
         base_valid,
         jnp.asarray(damping0, prob.cam_T.dtype),
+        jnp.int32(0),
+        jnp.bool_(False),
     )
-    (cam_T, lm_pos, inlier, _), _ = jax.lax.scan(one_round, init, None, length=rounds)
+    cam_T, lm_pos, inlier, _, _, _ = jax.lax.while_loop(round_cond, one_round, init)
     # Remove accumulated rotation drift; untouched slots stay bit-identical.
     moved = prob.cam_valid & ~prob.cam_fixed
     cam_T = jnp.where(moved[:, None, None], se3.orthonormalize(cam_T), cam_T)
