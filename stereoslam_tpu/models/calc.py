@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stereoslam_tpu.ops.image import gaussian_blur
+from stereoslam_tpu.ops.image import gaussian_blur, resize_bilinear
 
 DESCRIPTOR_DIM = 1064
 INPUT_HW = (120, 160)  # rows, cols — deeplcd.cpp:50 resizes to (160, 120) WxH
@@ -41,7 +41,7 @@ INPUT_HW = (120, 160)  # rows, cols — deeplcd.cpp:50 resizes to (160, 120) WxH
 def preprocess(img: jnp.ndarray) -> jnp.ndarray:
     """Blur + resize to the CALC input size (deeplcd.cpp:43-52), scale to [0,1]."""
     img = gaussian_blur(img, sigma=2.0, radius=3)
-    img = jax.image.resize(img, INPUT_HW, method="bilinear")
+    img = resize_bilinear(img, INPUT_HW)
     return img / 255.0
 
 

