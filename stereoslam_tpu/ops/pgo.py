@@ -65,45 +65,55 @@ def optimize_pose_graph(
     gn_iters: int = 20,
     cg_iters: int = 64,
     damping: float = 1e-6,
+    cg_rtol: float = 1e-12,
+    gn_xtol: float = 1e-10,
 ) -> jnp.ndarray:
-    """Optimize and return new (K, 4, 4) poses (fixed vertices untouched)."""
+    """Optimize and return new (K, 4, 4) poses (fixed vertices untouched).
+
+    TPU shape: vertex gathers/scatters go through precomputed one-hot
+    selection matrices so every CG iteration is four (E,K)x(K,6) MXU matmuls
+    instead of scattered adds, and both the GN and CG loops early-exit on
+    convergence (the reference's g2o runs a fixed 20 LM iterations,
+    loopclosing.cpp:605-606).
+    """
     K = graph.poses.shape[0]
     free = graph.vertex_valid & ~graph.fixed
-    ew = graph.edge_valid.astype(graph.poses.dtype)
-    i_idx = graph.edge_i
-    j_idx = graph.edge_j
+    dt = graph.poses.dtype
+    ew = graph.edge_valid.astype(dt)
     meas_inv = se3.inv(graph.edge_meas)
+    # One-hot vertex selection: S @ v gathers, S.T @ y scatter-adds.
+    S_i = jax.nn.one_hot(graph.edge_i, K, dtype=dt)  # (E, K)
+    S_j = jax.nn.one_hot(graph.edge_j, K, dtype=dt)
 
-    def gn_step(poses, _):
-        T_i = poses[i_idx]
-        T_j = poses[j_idx]
+    def gn_body(carry):
+        poses, it, _ = carry
+        T_i = (S_i @ poses.reshape(K, 16)).reshape(-1, 4, 4)
+        T_j = (S_j @ poses.reshape(K, 16)).reshape(-1, 4, 4)
         r, J_i, J_j = jax.vmap(_edge_jacobians)(T_i, T_j, meas_inv)  # (E,6),(E,6,6)x2
-        r = r * ew[:, None]
+        # ew is {0,1}: folding it into J once weights r, b, D and Hv alike.
+        J_i = J_i * ew[:, None, None]
+        J_j = J_j * ew[:, None, None]
 
-        # rhs b = -sum J^T r, scattered to vertices.
-        b = jnp.zeros((K, 6), poses.dtype)
-        b = b.at[i_idx].add(-jnp.einsum("eki,ek->ei", J_i, r))
-        b = b.at[j_idx].add(-jnp.einsum("eki,ek->ei", J_j, r))
+        # rhs b = -sum J^T r, scattered to vertices via one-hot matmuls.
+        b = S_i.T @ -jnp.einsum("eki,ek->ei", J_i, r)
+        b += S_j.T @ -jnp.einsum("eki,ek->ei", J_j, r)
         b = jnp.where(free[:, None], b, 0.0)
 
         # Jacobi preconditioner: per-vertex diagonal blocks.
-        JtJ_i = jnp.einsum("eki,e,ekj->eij", J_i, ew, J_i)
-        JtJ_j = jnp.einsum("eki,e,ekj->eij", J_j, ew, J_j)
-        D = jnp.zeros((K, 6, 6), poses.dtype)
-        D = D.at[i_idx].add(JtJ_i)
-        D = D.at[j_idx].add(JtJ_j)
-        D = D + (damping + 1e-4) * jnp.eye(6, dtype=poses.dtype)
+        JtJ_i = jnp.einsum("eki,ekj->eij", J_i, J_i)
+        JtJ_j = jnp.einsum("eki,ekj->eij", J_j, J_j)
+        D = (S_i.T @ JtJ_i.reshape(-1, 36)).reshape(K, 6, 6)
+        D += (S_j.T @ JtJ_j.reshape(-1, 36)).reshape(K, 6, 6)
+        D = D + (damping + 1e-4) * jnp.eye(6, dtype=dt)
         M_inv = _inv6x6(D)
 
         def Hv(v):
             v = jnp.where(free[:, None], v, 0.0)
-            a = jnp.einsum("ekl,el->ek", J_i, v[i_idx]) + jnp.einsum(
-                "ekl,el->ek", J_j, v[j_idx]
+            a = jnp.einsum("ekl,el->ek", J_i, S_i @ v) + jnp.einsum(
+                "ekl,el->ek", J_j, S_j @ v
             )
-            a = a * ew[:, None]
-            out = jnp.zeros((K, 6), poses.dtype)
-            out = out.at[i_idx].add(jnp.einsum("eki,ek->ei", J_i, a))
-            out = out.at[j_idx].add(jnp.einsum("eki,ek->ei", J_j, a))
+            out = S_i.T @ jnp.einsum("eki,ek->ei", J_i, a)
+            out += S_j.T @ jnp.einsum("eki,ek->ei", J_j, a)
             out = out + damping * v
             return jnp.where(free[:, None], out, 0.0)
 
@@ -112,9 +122,16 @@ def optimize_pose_graph(
                 free[:, None], jnp.einsum("kij,kj->ki", M_inv, v), 0.0
             )
 
-        # Preconditioned CG on H dx = b.
-        def cg_body(carry, _):
-            x, rr, p, rz = carry
+        # Preconditioned CG on H dx = b, early-exiting on residual drop.
+        z0 = precond(b)
+        rz0 = jnp.vdot(b, z0)
+
+        def cg_cond(c):
+            _, _, _, rz, k = c
+            return (k < cg_iters) & (rz > cg_rtol * rz0)
+
+        def cg_body(c):
+            x, rr, p, rz, k = c
             Hp = Hv(p)
             alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
             x = x + alpha * p
@@ -123,20 +140,25 @@ def optimize_pose_graph(
             rz_new = jnp.vdot(rr, z)
             beta = rz_new / jnp.maximum(rz, 1e-20)
             p = z + beta * p
-            return (x, rr, p, rz_new), None
+            return (x, rr, p, rz_new, k + 1)
 
-        x0 = jnp.zeros((K, 6), poses.dtype)
-        r0 = b
-        z0 = precond(r0)
-        (dx, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, r0, z0, jnp.vdot(r0, z0)), None, length=cg_iters
+        x0 = jnp.zeros((K, 6), dt)
+        dx, _, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body, (x0, b, z0, rz0, jnp.int32(0))
         )
 
         new_poses = se3.exp(dx) @ poses
         new_poses = jnp.where(free[:, None, None], new_poses, poses)
-        return new_poses, None
+        step = jnp.max(jnp.abs(jnp.where(free[:, None], dx, 0.0)))
+        return new_poses, it + 1, step
 
-    poses, _ = jax.lax.scan(gn_step, graph.poses, None, length=gn_iters)
+    def gn_cond(carry):
+        _, it, step = carry
+        return (it < gn_iters) & (step > gn_xtol)
+
+    poses, _, _ = jax.lax.while_loop(
+        gn_cond, gn_body, (graph.poses, jnp.int32(0), jnp.asarray(jnp.inf, dt))
+    )
     # Remove accumulated rotation drift; fixed vertices stay bit-identical.
     poses_on = se3.orthonormalize(poses)
     return jnp.where((graph.vertex_valid & ~graph.fixed)[:, None, None], poses_on, poses)

@@ -41,44 +41,55 @@ def optimize_pose_graph_sharded(
     free = graph.vertex_valid & ~graph.fixed
 
     def local(poses, free_v, e_i, e_j, meas, e_valid):
-        ew = e_valid.astype(poses.dtype)
+        dt = poses.dtype
+        ew = e_valid.astype(dt)
         meas_inv = se3.inv(meas)
+        # Per-shard one-hot vertex selection (local edges x global vertices):
+        # S @ v gathers, S.T @ y scatter-adds — MXU matmuls, no scatters.
+        S_i = jax.nn.one_hot(e_i, K, dtype=dt)
+        S_j = jax.nn.one_hot(e_j, K, dtype=dt)
 
         def gn_step(poses, _):
-            T_i = poses[e_i]
-            T_j = poses[e_j]
+            T_i = (S_i @ poses.reshape(K, 16)).reshape(-1, 4, 4)
+            T_j = (S_j @ poses.reshape(K, 16)).reshape(-1, 4, 4)
             r, J_i, J_j = jax.vmap(_edge_jacobians)(T_i, T_j, meas_inv)
-            r = r * ew[:, None]
+            J_i = J_i * ew[:, None, None]
+            J_j = J_j * ew[:, None, None]
 
-            b_part = jnp.zeros((K, 6), poses.dtype)
-            b_part = b_part.at[e_i].add(-jnp.einsum("eki,ek->ei", J_i, r))
-            b_part = b_part.at[e_j].add(-jnp.einsum("eki,ek->ei", J_j, r))
+            b_part = S_i.T @ -jnp.einsum("eki,ek->ei", J_i, r)
+            b_part += S_j.T @ -jnp.einsum("eki,ek->ei", J_j, r)
             b = jax.lax.psum(b_part, model_axis)
             b = jnp.where(free_v[:, None], b, 0.0)
 
-            D_part = jnp.zeros((K, 6, 6), poses.dtype)
-            D_part = D_part.at[e_i].add(jnp.einsum("eki,e,ekj->eij", J_i, ew, J_i))
-            D_part = D_part.at[e_j].add(jnp.einsum("eki,e,ekj->eij", J_j, ew, J_j))
-            D = jax.lax.psum(D_part, model_axis)
-            M_inv = _inv6x6(D + (damping + 1e-4) * jnp.eye(6, dtype=poses.dtype))
+            D_part = (S_i.T @ jnp.einsum("eki,ekj->eij", J_i, J_i).reshape(-1, 36))
+            D_part += (S_j.T @ jnp.einsum("eki,ekj->eij", J_j, J_j).reshape(-1, 36))
+            D = jax.lax.psum(D_part.reshape(K, 6, 6), model_axis)
+            M_inv = _inv6x6(D + (damping + 1e-4) * jnp.eye(6, dtype=dt))
 
             def Hv(v):
                 v = jnp.where(free_v[:, None], v, 0.0)
-                a = jnp.einsum("ekl,el->ek", J_i, v[e_i]) + jnp.einsum(
-                    "ekl,el->ek", J_j, v[e_j]
+                a = jnp.einsum("ekl,el->ek", J_i, S_i @ v) + jnp.einsum(
+                    "ekl,el->ek", J_j, S_j @ v
                 )
-                a = a * ew[:, None]
-                out = jnp.zeros((K, 6), poses.dtype)
-                out = out.at[e_i].add(jnp.einsum("eki,ek->ei", J_i, a))
-                out = out.at[e_j].add(jnp.einsum("eki,ek->ei", J_j, a))
+                out = S_i.T @ jnp.einsum("eki,ek->ei", J_i, a)
+                out += S_j.T @ jnp.einsum("eki,ek->ei", J_j, a)
                 out = jax.lax.psum(out, model_axis) + damping * v
                 return jnp.where(free_v[:, None], out, 0.0)
 
             def precond(v):
                 return jnp.where(free_v[:, None], jnp.einsum("kij,kj->ki", M_inv, v), 0.0)
 
-            def cg_body(carry, _):
-                x, rr, p, rz = carry
+            # psum'd scalars are replicated, so the early-exit condition is
+            # identical on every shard — safe inside shard_map.
+            z0 = precond(b)
+            rz0 = jnp.vdot(b, z0)
+
+            def cg_cond(c):
+                _, _, _, rz, k = c
+                return (k < cg_iters) & (rz > 1e-12 * rz0)
+
+            def cg_body(c):
+                x, rr, p, rz, k = c
                 Hp = Hv(p)
                 alpha = rz / jnp.maximum(jnp.vdot(p, Hp), 1e-20)
                 x = x + alpha * p
@@ -87,12 +98,11 @@ def optimize_pose_graph_sharded(
                 rz_new = jnp.vdot(rr, z)
                 beta = rz_new / jnp.maximum(rz, 1e-20)
                 p = z + beta * p
-                return (x, rr, p, rz_new), None
+                return (x, rr, p, rz_new, k + 1)
 
-            x0 = jnp.zeros((K, 6), poses.dtype)
-            z0 = precond(b)
-            (dx, _, _, _), _ = jax.lax.scan(
-                cg_body, (x0, b, z0, jnp.vdot(b, z0)), None, length=cg_iters
+            x0 = jnp.zeros((K, 6), dt)
+            dx, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, b, z0, rz0, jnp.int32(0))
             )
             new_poses = se3.exp(dx) @ poses
             return jnp.where(free_v[:, None, None], new_poses, poses), None
