@@ -159,6 +159,12 @@ class LoopClosingConfig:
     pnp_ransac_iters: int = 128
     pnp_ransac_threshold: float = 5.991
     show_result: bool = False
+    # Optional: paths to the reference's trained CALC model files
+    # (calc_model/deploy.prototxt + calc.caffemodel, reference deeplcd.h:33).
+    # When set, the whole-image descriptor runs those exact weights via
+    # models/import_caffe (no Caffe needed); otherwise the HOG default.
+    caffe_prototxt: str = ""
+    caffe_weights: str = ""
 
 
 @dataclass(frozen=True)

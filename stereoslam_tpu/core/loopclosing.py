@@ -124,7 +124,14 @@ class LoopCloser:
         self.cfg = cfg
         self.intr = intr
         self.mesh = mesh  # optional jax Mesh: shard DB search + pose graph
-        self.model = calc.DescriptorModel(descriptor_params)
+        if descriptor_params is None and cfg.loop.caffe_weights:
+            # Reference users can point at their calc_model files directly
+            # (deploy.prototxt + calc.caffemodel, reference deeplcd.h:33).
+            self.model = calc.DescriptorModel.from_caffe(
+                cfg.loop.caffe_prototxt, cfg.loop.caffe_weights
+            )
+        else:
+            self.model = calc.DescriptorModel(descriptor_params)
         self._key = jax.random.PRNGKey(7)
 
         self._jit_process = jax.jit(self._process_impl)

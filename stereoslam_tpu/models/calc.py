@@ -149,18 +149,33 @@ def similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 class DescriptorModel:
-    """Facade choosing between the trained CALC encoder and the HOG default.
+    """Facade choosing between the trained CALC encoder, the reference's
+    original Caffe weights, and the HOG default.
 
-    Pass ``params`` (a Flax variables dict, e.g. converted from the
-    reference's caffemodel) to use the neural encoder; otherwise the
-    deterministic HOG projection is used.
+    - ``params``: a Flax variables dict (e.g. from ``train_calc``) — uses the
+      neural :class:`CalcEncoder`.
+    - ``caffe_net``: a :class:`~stereoslam_tpu.models.import_caffe.CaffeNetRunner`
+      (use :meth:`from_caffe`) — runs the reference's own
+      deploy.prototxt/calc.caffemodel, imported without Caffe.
+    - neither: the deterministic HOG projection.
     """
 
-    def __init__(self, params: Optional[dict] = None):
+    def __init__(self, params: Optional[dict] = None, caffe_net=None):
         self.params = params
         self._encoder = CalcEncoder() if params is not None else None
+        self._caffe = caffe_net
+
+    @classmethod
+    def from_caffe(cls, prototxt: str, caffemodel: str) -> "DescriptorModel":
+        """Load the reference's trained CALC model files directly
+        (reference deeplcd.h:33; fetched there by get_model.sh)."""
+        from stereoslam_tpu.models.import_caffe import CaffeNetRunner
+
+        return cls(caffe_net=CaffeNetRunner.from_files(prototxt, caffemodel))
 
     def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        if self._caffe is not None:
+            return self._caffe.descriptor(preprocess(img))
         if self._encoder is not None:
             return self._encoder.apply(self.params, preprocess(img))
         return hog_descriptor(img)
