@@ -33,13 +33,10 @@ from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.core.state import LoopState, MapState
 from stereoslam_tpu.models import calc
 from stereoslam_tpu.ops import se3
-from stereoslam_tpu.ops.brief import brief_descriptors
 from stereoslam_tpu.ops.camera import Intrinsics
-from stereoslam_tpu.ops.fast import fast_corner_check_at
 from stereoslam_tpu.ops.hamming import match_descriptors
-from stereoslam_tpu.ops.image import build_pyramid, gaussian_blur
 from stereoslam_tpu.ops.lm import optimize_pose
-from stereoslam_tpu.ops.orient import ic_angles
+from stereoslam_tpu.ops.orb import pyramid_orb
 from stereoslam_tpu.ops.pgo import PoseGraph, optimize_pose_graph
 from stereoslam_tpu.ops.pnp import pnp_ransac
 
@@ -62,59 +59,6 @@ class VerifyResult(NamedTuple):
     T_corrected: jnp.ndarray    # (4, 4) corrected current-KF pose
     match_loop_feat: jnp.ndarray  # (N,) int32 — per current-feature slot, matched loop feature or -1
     num_inliers: jnp.ndarray    # () int32
-
-
-def _pyramid_orb(img: jnp.ndarray, feat_xy: jnp.ndarray, feat_valid: jnp.ndarray, cfg: SlamConfig):
-    """Pyramid-expanded ORB descriptors for one keyframe's features.
-
-    The reference clones each frontend feature to every pyramid level with
-    ``class_id = feature index`` (loopclosing.cpp:94-105), screens each clone
-    for FAST cornerness + borders at its level (ScreenAndComputeKPsParams,
-    ORBextractor.cpp:1083-1129), then computes oriented BRIEF per clone
-    (CalcDescriptors, 1180-1226).  Here each level is processed as one
-    batch: response maps and blurs are computed once per level, clones are
-    gathered together.
-
-    Returns (desc (M, 8) u32, xy0 (M, 2) level-0 coords, cls (M,), valid (M,)).
-    """
-    n_levels = cfg.features.n_levels
-    scale = cfg.features.scale_factor
-    pyr = build_pyramid(img, n_levels, scale)
-    N = feat_xy.shape[0]
-
-    descs, xys, clss, valids = [], [], [], []
-    cls_ids = jnp.arange(N, dtype=jnp.int32)
-    for lvl in range(n_levels):
-        level_img = pyr[lvl]
-        s = scale**lvl
-        xy_l = feat_xy / s
-        h, w = level_img.shape
-        margin = 20.0
-        in_border = (
-            (xy_l[:, 0] >= margin)
-            & (xy_l[:, 0] < w - margin)
-            & (xy_l[:, 1] >= margin)
-            & (xy_l[:, 1] < h - margin)
-        )
-        is_corner = fast_corner_check_at(
-            level_img, xy_l, float(cfg.features.min_th_fast)
-        )
-        ok = feat_valid & in_border & is_corner
-
-        blurred = gaussian_blur(level_img)
-        ang = ic_angles(level_img, xy_l)
-        d = brief_descriptors(blurred, xy_l, ang)
-        descs.append(d)
-        xys.append(feat_xy)  # store level-0 coordinates for PnP
-        clss.append(cls_ids)
-        valids.append(ok)
-
-    return (
-        jnp.concatenate(descs, axis=0),
-        jnp.concatenate(xys, axis=0),
-        jnp.concatenate(clss, axis=0),
-        jnp.concatenate(valids, axis=0),
-    )
 
 
 class LoopCloser:
@@ -156,7 +100,7 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _process_impl(self, map_state: MapState, loop: LoopState, img, kf_id):
         deep = self.model(img)
-        desc, xy, cls, valid = _pyramid_orb(
+        desc, xy, cls, valid = pyramid_orb(
             img,
             map_state.kf_feat_xy[kf_id],
             map_state.kf_feat_valid[kf_id],

@@ -83,6 +83,10 @@ class StereoSlam:
         self._pyr_prev = None
         self._frame_count = 0
         self._loop_edges: List[Tuple[int, int]] = []
+        # Exact f64 timestamps by frame id.  On device timestamps live as f32
+        # (fine for seconds-from-zero, silently lossy for epoch-style stamps);
+        # trajectory export reads these host copies instead.
+        self._ts_by_frame: Dict[int, float] = {}
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
         self.profiler = Profiler()
         # Frame-outcome readback lag (see process_frame).  On an accelerator
@@ -178,6 +182,7 @@ class StereoSlam:
             return False
 
         rec = self.profiler.start_frame(self._frame_count, float(timestamp))
+        self._ts_by_frame[self._frame_count] = float(timestamp)
         left_u8 = jax.device_put(np.asarray(left).astype(np.uint8))
         ts = jnp.float32(timestamp)
 
@@ -335,7 +340,12 @@ class StereoSlam:
         self._flush_pending_ba()
         n = int(self.map.n_kf)
         ids = np.arange(n)
-        ts = np.asarray(self.map.kf_timestamp)[:n]
+        ts_dev = np.asarray(self.map.kf_timestamp)[:n]
+        fid = np.asarray(self.map.kf_frame_id)[:n]
+        ts = np.array(
+            [self._ts_by_frame.get(int(f), float(t)) for f, t in zip(fid, ts_dev)],
+            dtype=np.float64,
+        )
         T = np.asarray(self.map.kf_T_cw)[:n]
         return ids, ts, T
 

@@ -3,8 +3,10 @@
 The reference exposes three entry points (reference
 include/myslam/ORBextractor.h:61-84): ``Detect`` (grid FAST + distribution),
 ``ScreenAndComputeKPsParams`` (pyramid screening + orientation), and
-``CalcDescriptors`` (steered BRIEF).  The equivalents live in the dedicated
-kernel modules; this facade groups them for users porting reference code.
+``CalcDescriptors`` (steered BRIEF).  ``Detect`` lives in
+:mod:`stereoslam_tpu.ops.fast`; the screen+describe pipeline — used by loop
+closing to pyramid-expand frontend features (loopclosing.cpp:94-113) — is
+:func:`pyramid_orb` here.
 """
 
 from __future__ import annotations
@@ -15,7 +17,8 @@ import jax.numpy as jnp
 
 from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.ops.brief import brief_descriptors  # noqa: F401 (re-export)
-from stereoslam_tpu.ops.fast import Keypoints, detect_keypoints  # noqa: F401
+from stereoslam_tpu.ops.fast import Keypoints, detect_keypoints, fast_corner_check_at  # noqa: F401
+from stereoslam_tpu.ops.image import build_pyramid, gaussian_blur
 from stereoslam_tpu.ops.orient import ic_angles  # noqa: F401
 
 
@@ -26,21 +29,58 @@ class PyramidDescriptors(NamedTuple):
     valid: jnp.ndarray  # (M,) bool — survived border + FAST screening
 
 
-def extract_pyramid_descriptors(
-    img: jnp.ndarray,
-    feat_xy: jnp.ndarray,
-    feat_valid: jnp.ndarray,
-    cfg: SlamConfig,
+def pyramid_orb(
+    img: jnp.ndarray, feat_xy: jnp.ndarray, feat_valid: jnp.ndarray, cfg: SlamConfig
 ) -> PyramidDescriptors:
-    """Pyramid-expand features and compute oriented BRIEF per level.
+    """Pyramid-expanded ORB descriptors for one keyframe's features.
 
-    The combined equivalent of the reference's ScreenAndComputeKPsParams +
-    CalcDescriptors pipeline as used by loop closing
-    (loopclosing.cpp:94-113): each feature is cloned to every pyramid level,
-    screened for FAST cornerness and borders at that level, oriented, and
-    described on the blurred level image.
+    The reference clones each frontend feature to every pyramid level with
+    ``class_id = feature index`` (loopclosing.cpp:94-105), screens each clone
+    for FAST cornerness + borders at its level (ScreenAndComputeKPsParams,
+    ORBextractor.cpp:1083-1129), then computes oriented BRIEF per clone
+    (CalcDescriptors, 1180-1226).  Here each level is processed as one
+    batch: response maps and blurs are computed once per level, clones are
+    gathered together.
     """
-    from stereoslam_tpu.core.loopclosing import _pyramid_orb
+    n_levels = cfg.features.n_levels
+    scale = cfg.features.scale_factor
+    pyr = build_pyramid(img, n_levels, scale)
+    N = feat_xy.shape[0]
 
-    desc, xy, cls, valid = _pyramid_orb(img, feat_xy, feat_valid, cfg)
-    return PyramidDescriptors(desc=desc, xy=xy, cls=cls, valid=valid)
+    descs, xys, clss, valids = [], [], [], []
+    cls_ids = jnp.arange(N, dtype=jnp.int32)
+    for lvl in range(n_levels):
+        level_img = pyr[lvl]
+        s = scale**lvl
+        xy_l = feat_xy / s
+        h, w = level_img.shape
+        margin = 20.0
+        in_border = (
+            (xy_l[:, 0] >= margin)
+            & (xy_l[:, 0] < w - margin)
+            & (xy_l[:, 1] >= margin)
+            & (xy_l[:, 1] < h - margin)
+        )
+        is_corner = fast_corner_check_at(
+            level_img, xy_l, float(cfg.features.min_th_fast)
+        )
+        ok = feat_valid & in_border & is_corner
+
+        blurred = gaussian_blur(level_img)
+        ang = ic_angles(level_img, xy_l)
+        d = brief_descriptors(blurred, xy_l, ang)
+        descs.append(d)
+        xys.append(feat_xy)  # store level-0 coordinates for PnP
+        clss.append(cls_ids)
+        valids.append(ok)
+
+    return PyramidDescriptors(
+        desc=jnp.concatenate(descs, axis=0),
+        xy=jnp.concatenate(xys, axis=0),
+        cls=jnp.concatenate(clss, axis=0),
+        valid=jnp.concatenate(valids, axis=0),
+    )
+
+
+# Backwards-compatible alias (the original facade name).
+extract_pyramid_descriptors = pyramid_orb
