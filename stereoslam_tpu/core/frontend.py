@@ -400,9 +400,20 @@ def frame_step(
     baseline: float,
     timestamp: jnp.ndarray,
     cfg: SlamConfig,
+    ba_fn=None,
 ) -> Tuple[FrontendState, MapState, Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """One fully-fused tracked frame: pyramid + LK + pose LM + status + the
     keyframe decision AND creation, all on device.
+
+    ``ba_fn`` (optional, ``MapState -> MapState``): windowed bundle
+    adjustment fused into the keyframe branch.  With BA in-stream the whole
+    pipeline is a deterministic function of (state, images): results cannot
+    depend on host readback lag or on *when* an asynchronously-launched BA
+    happens to finish (a wall-clock effect the host-side async path has on a
+    tunneled TPU).  On a single chip this costs nothing — device stream
+    order serializes the same total work either way — it only renounces
+    overlap that would need a second chip, where the async path (see
+    core/system.py async_ba) remains available.
 
     This is the pipelining keystone: the reference decides keyframes on the
     host thread between OpenCV calls (frontend.cpp:97-119); a literal port
@@ -440,10 +451,16 @@ def frame_step(
     def kf_branch(args):
         fs_in, m_in = args
         pyr_right = build_lk_pyramid(right_f32_fn(), lk_levels)
-        return make_keyframe_step(
+        fs_kf, m_kf, kf_id = make_keyframe_step(
             left_f32, pyr, pyr_right, fs_in, m_in,
             intr_left, intr_right, baseline, timestamp, cfg,
         )
+        if ba_fn is not None:
+            # Backend BA runs for exactly this keyframe, in stream order
+            # (the reference's backend thread drains its queue per KF,
+            # backend.cpp:74-103 — here the "queue" is the device stream).
+            m_kf = ba_fn(m_kf)
+        return fs_kf, m_kf, kf_id
 
     def no_kf(args):
         fs_in, m_in = args

@@ -62,12 +62,19 @@ class StereoSlam:
         enable_loop: bool = True,
         mesh=None,
         readback_lag: Optional[int] = None,
+        inline_ba: Optional[bool] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the loop-closure
         descriptor search and global pose graph over its "model" axis.
         ``readback_lag``: frames of pipelined frame-outcome readback
         (default: 0 on CPU, 6 on accelerators; env STEREOSLAM_PIPELINE_LAG
-        overrides)."""
+        overrides).
+        ``inline_ba``: fuse windowed BA into the keyframe branch of the
+        frame program (default: True unless a mesh is given).  In-stream BA
+        makes the whole run a deterministic function of the input frames —
+        no dependence on readback lag or on when an async BA finishes —
+        at zero single-chip throughput cost.  With a mesh, BA runs as a
+        separately-sharded host-launched program (async_ba path) instead."""
         cfg.validate()
         self.cfg = cfg
         self.enable_backend = enable_backend
@@ -134,17 +141,30 @@ class StereoSlam:
         self._jit_img_f32 = jax.jit(self._pre_left)
         self._status = INITING
 
+        self.inline_ba = (
+            bool(inline_ba)
+            if inline_ba is not None
+            else (enable_backend and mesh is None)
+        )
+        _inline_ba_fn = (
+            partial(backend_mod.optimize_active_map, intr=self.intr_left, cfg=cfg)
+            if self.inline_ba and enable_backend
+            else None
+        )
+
         def _frame(fs, m, pyr_prev, left_u8, right_u8, ts):
-            # The entire tracked frame — pyramid, LK, pose LM, status, and
-            # the conditional keyframe creation — as ONE device program.
-            # The host never syncs inside the frame loop; outcomes are read
-            # back ``readback_lag`` frames later (see process_frame).
+            # The entire tracked frame — pyramid, LK, pose LM, status, the
+            # conditional keyframe creation, and (inline_ba) the windowed
+            # BA — as ONE device program.  The host never syncs inside the
+            # frame loop; outcomes are read back ``readback_lag`` frames
+            # later (see process_frame).
             left_f32 = self._pre_left(left_u8)
             return frontend_mod.frame_step(
                 left_f32,
                 lambda: self._pre_right(right_u8),
                 pyr_prev, fs, m,
                 self.intr_left, self.intr_right, self.baseline, ts, cfg,
+                ba_fn=_inline_ba_fn,
             )
 
         self._jit_frame = jax.jit(_frame)
@@ -198,7 +218,11 @@ class StereoSlam:
                 self._status = TRACKING_GOOD
                 self.fs = fs._replace(status=jnp.int32(TRACKING_GOOD))
                 self.map = m
-                self._after_keyframe(left_f32, pyr_left, int(kf_id))
+                # The init keyframe's BA runs host-side even in inline mode
+                # (the init program is separate from the frame program).
+                self._after_keyframe(
+                    left_f32, pyr_left, int(kf_id), force_ba=self.inline_ba
+                )
                 log.info("stereo init: %d landmarks, KF %d", int(n_lm), int(kf_id))
             else:
                 # Init failed — stay INITING, try next frame (frontend.cpp:64).
@@ -258,7 +282,7 @@ class StereoSlam:
                 self._inflight.clear()
 
     # ------------------------------------------------------------------
-    def _after_keyframe(self, left, pyr_left, kf_id: int) -> None:
+    def _after_keyframe(self, left, pyr_left, kf_id: int, force_ba: bool = False) -> None:
         """Backend BA + loop closing for a freshly inserted keyframe —
         the work the reference's backend/loop threads do (backend.cpp:74-103,
         loopclosing.cpp:52-80).
@@ -273,8 +297,9 @@ class StereoSlam:
             self.loop = self._loop_closer.process_keyframe(
                 self.map, self.loop, left, pyr_left, int(kf_id)
             )
-        if self.enable_backend:
-            if self.async_ba:
+        run_ba_here = self.enable_backend and (not self.inline_ba or force_ba)
+        if run_ba_here:
+            if self.async_ba and not force_ba:
                 self._pending_ba = self._jit_ba(self.map)  # enqueued, not awaited
             else:
                 self.map = self._jit_ba(self.map)
