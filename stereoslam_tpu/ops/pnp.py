@@ -85,21 +85,46 @@ def pnp_ransac(
     chi2_threshold: float = 5.991,
     min_inliers: int = 6,
 ) -> PnPResult:
-    """RANSAC over ``iterations`` 6-point DLT hypotheses, all in parallel.
+    """RANSAC over a mixed hypothesis pool, all solved in parallel:
 
-    Invalid slots never enter minimal sets (sampling is done by weighted
-    choice over the valid mask) and never count as inliers.
+    - ``iterations`` 3-point Grunert P3P samples (up to 4 poses each) —
+      the minimal solver, robust to planar landmark sets exactly where
+      DLT degenerates (cv::solvePnPRansac parity, loopclosing.cpp:264);
+    - ``iterations // 2`` 6-point DLT samples — an over-determined
+      generator that wins on noisy non-planar sets.
+
+    Scoring is one shared einsum over every candidate; invalid slots never
+    enter minimal sets (weighted categorical sampling) and never count as
+    inliers.
     """
+    from stereoslam_tpu.ops.p3p import p3p_poses
+
     N = X_w.shape[0]
     nvalid = jnp.sum(valid.astype(jnp.int32))
 
     # Sample minimal sets from valid entries: weighted categorical draws.
+    k3, k6 = jax.random.split(key)
     logits = jnp.where(valid, 0.0, -1e9)
+    n_dlt = max(iterations // 2, 1)
     sets = jax.random.categorical(
-        key, logits[None, :], shape=(iterations, MIN_SET)
+        k6, logits[None, :], shape=(n_dlt, MIN_SET)
     )  # (K, S) — may repeat within a set; degenerate sets score poorly and lose.
 
-    T_hyps = jax.vmap(lambda s: _dlt_pose(X_w[s], _normalize(obs_px[s], intr)))(sets)
+    T_dlt = jax.vmap(lambda s: _dlt_pose(X_w[s], _normalize(obs_px[s], intr)))(sets)
+
+    sets3 = jax.random.categorical(k3, logits[None, :], shape=(iterations, 3))
+    T_p3p, ok3 = jax.vmap(
+        lambda s: p3p_poses(X_w[s], _normalize(obs_px[s], intr))
+    )(sets3)  # (K, 4, 4, 4), (K, 4)
+    T_p3p = T_p3p.reshape(-1, 4, 4)
+    ok3 = ok3.reshape(-1)
+    # Invalid P3P branches become a pose that puts every point far behind
+    # the camera (z = -1e9), guaranteeing zero inliers — an identity
+    # placeholder could accidentally score when the true pose is near it.
+    far = jnp.eye(4, dtype=T_p3p.dtype).at[2, 3].set(-1e9)
+    T_p3p = jnp.where(ok3[:, None, None], T_p3p, far)
+
+    T_hyps = jnp.concatenate([T_p3p, T_dlt], axis=0)
 
     # Score all hypotheses against all points.
     P_c = jnp.einsum("kij,nj->kni", T_hyps[:, :3, :3], X_w) + T_hyps[:, None, :3, 3]
