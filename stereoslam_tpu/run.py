@@ -26,6 +26,16 @@ def main(argv=None) -> int:
     parser.add_argument("--no-loop", action="store_true")
     parser.add_argument("--no-backend", action="store_true")
     parser.add_argument("--gt", default="", help="optional KITTI gt poses file for ATE report")
+    parser.add_argument(
+        "--plot-every",
+        type=int,
+        default=0,
+        metavar="N",
+        help="write an incremental trajectory/map plot to OUTPUT/live.png "
+        "every N frames (the Viewer role, reference viewer.cpp:35-101 — but "
+        "off the frame loop: rendering happens between frames, never blocks "
+        "the device stream, and costs nothing when 0/off)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
@@ -39,6 +49,11 @@ def main(argv=None) -> int:
     slam = StereoSlam(cfg, enable_backend=not args.no_backend, enable_loop=not args.no_loop)
 
     os.makedirs(args.output, exist_ok=True)
+    live = None
+    if args.plot_every > 0:
+        from stereoslam_tpu.utils.viewer import LiveView
+
+        live = LiveView(args.output)
     t0 = time.time()
     n = 0
     for left, right, ts in kitti.frames(args.sequence_dir):
@@ -46,6 +61,8 @@ def main(argv=None) -> int:
         n += 1
         if n % 100 == 0:
             log.info("frame %d (%.1f FPS)", n, n / (time.time() - t0))
+        if live is not None and n % args.plot_every == 0:
+            live.update(slam, left)
         if not ok:
             log.warning("tracking lost — stopping (reference behavior)")
             break

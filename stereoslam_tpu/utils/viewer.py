@@ -77,6 +77,72 @@ def plot_map(
     return out_path
 
 
+class LiveView:
+    """Incremental observability during a run (the Viewer role,
+    reference viewer.cpp:35-119) without a render thread: the driver calls
+    :meth:`update` every N frames *between* device dispatches, so rendering
+    never sits on the frame loop's critical path and costs zero when off.
+
+    Writes two files, atomically refreshed in place:
+      ``live.png``       — top-down trajectory + landmark cloud + loop edges
+      ``live_frame.png`` — current left frame with tracked-feature overlay
+    """
+
+    def __init__(self, out_dir: str):
+        import os
+
+        self.traj_path = os.path.join(out_dir, "live.png")
+        self.frame_path = os.path.join(out_dir, "live_frame.png")
+
+    def update(self, slam, left_img: Optional[np.ndarray] = None) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n_kf = int(slam.map.n_kf)
+        if n_kf >= 1:
+            _, _, T_cw = slam.keyframe_trajectory()
+            kf = np.linalg.inv(T_cw.astype(np.float64))[:, :3, 3]
+            lm_pos = np.asarray(slam.map.lm_pos)
+            lm_ok = np.asarray(slam.map.lm_valid) & ~np.asarray(slam.map.lm_outlier)
+            fig, ax = plt.subplots(figsize=(7, 7))
+            pts = lm_pos[lm_ok]
+            if len(pts):
+                ax.scatter(pts[:, 0], pts[:, 2], s=1, c="gray", alpha=0.35)
+            ax.plot(kf[:, 0], kf[:, 2], "b-", lw=1.2)
+            ax.plot(kf[-1:, 0], kf[-1:, 2], "bo", ms=5)
+            for cur, loop in slam.loop_edges:
+                if cur < len(kf) and loop < len(kf):
+                    ax.plot([kf[cur, 0], kf[loop, 0]], [kf[cur, 2], kf[loop, 2]],
+                            "r-", lw=1.0, alpha=0.8)
+            ax.set_aspect("equal")
+            ax.set_xlabel("x [m]")
+            ax.set_ylabel("z [m]")
+            ax.set_title(f"{n_kf} keyframes, {len(slam.loop_edges)} loop edges")
+            tmp = self.traj_path + ".tmp.png"
+            fig.savefig(tmp, dpi=100, bbox_inches="tight")
+            plt.close(fig)
+            import os
+
+            os.replace(tmp, self.traj_path)
+
+        if left_img is not None:
+            xy = np.asarray(slam.fs.tracks.xy)
+            ok = np.asarray(slam.fs.tracks.valid)
+            fig, ax = plt.subplots(figsize=(10, 10 * left_img.shape[0] / left_img.shape[1]))
+            ax.imshow(left_img, cmap="gray", vmin=0, vmax=255)
+            if ok.any():
+                ax.plot(xy[ok, 0], xy[ok, 1], "g+", ms=5, mew=1)
+            ax.set_axis_off()
+            tmp = self.frame_path + ".tmp.png"
+            fig.savefig(tmp, dpi=100, bbox_inches="tight", pad_inches=0)
+            plt.close(fig)
+            import os
+
+            os.replace(tmp, self.frame_path)
+
+
 def draw_features(
     img: np.ndarray, xy: np.ndarray, valid: np.ndarray, out_path: str = "frame.png"
 ) -> str:

@@ -44,6 +44,7 @@ def test_cli_runs_sequence(tmp_path, kitti_dir):
     rc = main([
         str(kitti_dir / "config.yaml"), str(kitti_dir),
         "--output", out_dir, "--no-loop", "--max-frames", "15",
+        "--plot-every", "6",
     ])
     assert rc == 0
     traj = os.path.join(out_dir, "trajectory.txt")
@@ -52,6 +53,9 @@ def test_cli_runs_sequence(tmp_path, kitti_dir):
     assert len(lines) >= 1
     assert all(len(l.split()) == 9 for l in lines)
     assert os.path.exists(os.path.join(out_dir, "loopEdges.txt"))
+    # Live observability artifacts (reference viewer role, off the hot loop).
+    assert os.path.exists(os.path.join(out_dir, "live.png"))
+    assert os.path.exists(os.path.join(out_dir, "live_frame.png"))
 
 
 def test_orb_public_api(rng):
