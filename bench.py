@@ -146,9 +146,14 @@ def main():
     loop_edges = None
     try:
         from stereoslam_tpu.utils.metrics import ate_rmse
-        from stereoslam_tpu.utils.world import generate_world_sequence
+        from stereoslam_tpu.utils.world import frames_per_lap, generate_world_sequence
 
-        n_world = int(os.environ.get("BENCH_WORLD_FRAMES", "520"))
+        # 1.3 laps: the lap must actually close for the loop-closure stage
+        # to have a revisit to find (frames_per_lap accounts for corner
+        # slowdown; a flat perimeter/step estimate undershoots the lap).
+        n_world = int(os.environ.get(
+            "BENCH_WORLD_FRAMES", str(int(frames_per_lap(0.8, 90.0, 50.0) * 1.3))
+        ))
         wseq = generate_world_sequence(n_frames=n_world, h=240, w=376, seed=1)
         wcfg = SlamConfig(
             camera=CameraConfig(
@@ -161,14 +166,12 @@ def main():
             image_width=376,
         )
         wslam = StereoSlam(wcfg, enable_backend=True, enable_loop=True)
-        est = []
         for t in range(n_world):
             if not wslam.process_frame(wseq.left[t], wseq.right[t], wseq.timestamps[t]):
                 break
-            est.append(wslam.current_pose())
-        wslam._drain()
-        est = np.stack(est)
-        gt = np.linalg.inv(wseq.T_cw[: len(est)].astype(np.float64))
+        fids, est = wslam.frame_trajectory()
+        est = est.astype(np.float64)
+        gt = np.linalg.inv(wseq.T_cw[fids].astype(np.float64))
         gt = np.linalg.inv(gt[0]) @ gt
         ate_m = float(ate_rmse(np.linalg.inv(est), gt, align=False))
         kf_rate = float(int(wslam.map.n_kf) / len(est))
@@ -190,7 +193,7 @@ def main():
         rec["world_ate_m"] = round(ate_m, 3)
         rec["world_kf_rate"] = round(kf_rate, 3)
         rec["world_loop_edges"] = loop_edges
-        rec["world_frames"] = int(os.environ.get("BENCH_WORLD_FRAMES", "520"))
+        rec["world_frames"] = n_world
     print(json.dumps(rec))
 
 

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Produce the packaged default CALC descriptor weights, deterministically.
+
+The reference ships a trained CALC caffemodel fetched at build time
+(reference get_model.sh:1-28, loaded at deeplcd.cpp:24-25).  This script is
+that artifact's reproducible counterpart: it renders a diverse corpus of
+real-parallax (anchor, revisit) view pairs from procedural city scenes,
+trains the CALC-style encoder (HOG reconstruction + InfoNCE calibration,
+models/train_calc.py), reports the held-out operating point at the shipped
+thresholds (0.94 / 0.92, KITTI00-02.yaml:79-80), and writes
+``stereoslam_tpu/models/calc_weights.npz`` (f16, checked into the repo).
+
+Deterministic: same seed -> same corpus -> same weights (up to accelerator
+reduction nondeterminism, which does not move the operating point).
+
+Usage:  python scripts/train_calc_default.py [--steps N] [--places N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def evaluate_operating_point(model_fn, n_places=96, seed=999):
+    """Held-out scenes: revisit vs hard-negative similarity distributions."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoslam_tpu.models.train_calc import render_corpus_pairs
+
+    A, B = render_corpus_pairs(n_places=n_places, n_scenes=4, seed=seed)
+    f = jax.jit(jax.vmap(model_fn))
+    za = np.asarray(f(jnp.asarray(A)))
+    zb = np.asarray(f(jnp.asarray(B)))
+    S = za @ zb.T
+    pos = np.diag(S)
+    neg = S[~np.eye(len(S), dtype=bool)]
+    return {
+        "pos_median": float(np.median(pos)),
+        "pos_p10": float(np.percentile(pos, 10)),
+        "pos_ge_high": float((pos >= 0.94).mean()),
+        "neg_median": float(np.median(neg)),
+        "neg_p99": float(np.percentile(neg, 99)),
+        "neg_ge_low": float((neg >= 0.92).mean()),
+        "n_pairs": int(len(pos)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--places", type=int, default=2048)
+    ap.add_argument("--scenes", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    from stereoslam_tpu.models import calc
+    from stereoslam_tpu.models.train_calc import (
+        render_corpus_pairs,
+        train_encoder_pairs,
+    )
+
+    t0 = time.time()
+    A, B = render_corpus_pairs(
+        n_places=args.places, n_scenes=args.scenes, seed=args.seed
+    )
+    print(f"# corpus: {len(A)} pairs in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    params, history = train_encoder_pairs(
+        A, B, steps=args.steps, batch=args.batch, seed=args.seed, verbose=True
+    )
+    print(f"# trained {args.steps} steps in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # Operating point: held-out scenes (the number that matters) plus
+    # training-band scenes (to expose any memorization gap).
+    enc = calc.CalcEncoder()
+    model_fn = lambda img: enc.apply(params, calc.preprocess(img))
+    op = evaluate_operating_point(model_fn, seed=999)
+    op_train = evaluate_operating_point(model_fn, seed=args.seed)
+    print(json.dumps({
+        "history_tail": history[-3:],
+        "operating_point_heldout": op,
+        "operating_point_trainband": op_train,
+    }))
+
+    out = args.out or os.path.join(
+        os.path.dirname(calc.__file__), calc.DEFAULT_WEIGHTS
+    )
+    calc.save_params_npz(out, params)
+    print(f"# wrote {out} ({os.path.getsize(out)/1e6:.1f} MB)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

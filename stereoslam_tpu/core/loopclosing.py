@@ -64,16 +64,25 @@ class VerifyResult(NamedTuple):
 class LoopCloser:
     """Host-side driver owning the jitted loop-closing stages."""
 
-    def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None, mesh=None):
+    def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None,
+                 mesh=None, descriptor_model=None):
         self.cfg = cfg
         self.intr = intr
         self.mesh = mesh  # optional jax Mesh: shard DB search + pose graph
-        if descriptor_params is None and cfg.loop.caffe_weights:
+        if descriptor_model is not None:
+            # Caller-supplied model (tests pin the HOG surrogate this way).
+            self.model = descriptor_model
+        elif descriptor_params is None and cfg.loop.caffe_weights:
             # Reference users can point at their calc_model files directly
             # (deploy.prototxt + calc.caffemodel, reference deeplcd.h:33).
             self.model = calc.DescriptorModel.from_caffe(
                 cfg.loop.caffe_prototxt, cfg.loop.caffe_weights
             )
+        elif descriptor_params is None:
+            # Shipped default: packaged trained CALC weights when present
+            # (the analog of the reference's calc.caffemodel, loaded at
+            # deeplcd.cpp:24-25), else the deterministic HOG projection.
+            self.model = calc.DescriptorModel.default()
         else:
             self.model = calc.DescriptorModel(descriptor_params)
         self._key = jax.random.PRNGKey(7)

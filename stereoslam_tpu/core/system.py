@@ -63,6 +63,7 @@ class StereoSlam:
         mesh=None,
         readback_lag: Optional[int] = None,
         inline_ba: Optional[bool] = None,
+        descriptor_model=None,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the loop-closure
         descriptor search and global pose graph over its "model" axis.
@@ -94,6 +95,8 @@ class StereoSlam:
         # (fine for seconds-from-zero, silently lossy for epoch-style stamps);
         # trajectory export reads these host copies instead.
         self._ts_by_frame: Dict[int, float] = {}
+        # Per-frame (T_rk, ref_kf) readbacks, filled lag-N behind the stream.
+        self._pose_log: Dict[int, Tuple[np.ndarray, int]] = {}
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
         self.profiler = Profiler()
         # Frame-outcome readback lag (see process_frame).  On an accelerator
@@ -182,7 +185,9 @@ class StereoSlam:
                 partial(backend_mod.optimize_active_map, intr=self.intr_left, cfg=cfg)
             )
         if enable_loop:
-            self._loop_closer = loop_mod.LoopCloser(cfg, self.intr_left, mesh=mesh)
+            self._loop_closer = loop_mod.LoopCloser(
+                cfg, self.intr_left, mesh=mesh, descriptor_model=descriptor_model
+            )
 
     # ------------------------------------------------------------------
     def process_frame(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> bool:
@@ -218,6 +223,9 @@ class StereoSlam:
                 self._status = TRACKING_GOOD
                 self.fs = fs._replace(status=jnp.int32(TRACKING_GOOD))
                 self.map = m
+                self._pose_log[self._frame_count] = (
+                    np.eye(4, dtype=np.float32), int(kf_id)
+                )
                 # The init keyframe's BA runs host-side even in inline mode
                 # (the init program is separate from the frame program).
                 self._after_keyframe(
@@ -241,8 +249,11 @@ class StereoSlam:
             )
         if hasattr(counts, "copy_to_host_async"):
             counts.copy_to_host_async()
+            fs.T_rk.copy_to_host_async()
         self.fs, self.map, self._pyr_prev = fs, m, pyr_left
-        self._inflight.append((self._frame_count, counts, left_u8, pyr_left))
+        self._inflight.append(
+            (self._frame_count, counts, left_u8, pyr_left, fs.T_rk, fs.ref_kf)
+        )
         self._frame_count += 1
         while len(self._inflight) > self.readback_lag:
             self._retire(*self._inflight.pop(0))
@@ -253,12 +264,19 @@ class StereoSlam:
         return self._status != LOST
 
     # ------------------------------------------------------------------
-    def _retire(self, frame_idx: int, counts, left_u8, pyr_left) -> None:
+    def _retire(self, frame_idx: int, counts, left_u8, pyr_left,
+                T_rk=None, ref_kf=None) -> None:
         """Process the (lagged) outcome of an already-enqueued frame: record
         metrics, update host-visible status, and launch the per-keyframe work
         (BA + loop closing) if that frame created one."""
         c = np.asarray(counts)
         n_inliers, n_tracked, status, kf_id = (int(x) for x in c)
+        if T_rk is not None:
+            # KF-relative pose log (reference frame-trajectory semantics:
+            # every frame anchored to its reference KF; absolutes resolved
+            # against the final refined KF table by frame_trajectory()).
+            rk, rf = jax.device_get((T_rk, ref_kf))
+            self._pose_log[frame_idx] = (np.asarray(rk), int(rf))
         self.metrics["num_inliers"].append(n_inliers)
         self.metrics["num_tracked"].append(n_tracked)
         self._status = status
@@ -359,6 +377,23 @@ class StereoSlam:
         return np.asarray(self.fs.T_rk) @ T_kf
 
     # ------------------------------------------------------------------
+    def frame_trajectory(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(frame_ids, T_cw) for every tracked frame, anchored to the FINAL
+        refined keyframe table (each frame's relative pose composed with its
+        reference KF's corrected absolute pose — the reference's
+        frame-trajectory export semantics).  Unlike per-frame
+        :meth:`current_pose` polling, this costs zero device syncs during
+        the run: the lag-N retire path logs (T_rk, ref_kf) readbacks that
+        were already complete."""
+        self._drain()
+        self._flush_pending_ba()
+        kf_T = np.asarray(self.map.kf_T_cw)
+        ids = np.array(sorted(self._pose_log), dtype=np.int64)
+        T = np.stack([
+            self._pose_log[f][0] @ kf_T[self._pose_log[f][1]] for f in ids
+        ])
+        return ids, T
+
     def keyframe_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(kf_ids, timestamps, T_cw) for all valid keyframes."""
         self._drain()

@@ -148,6 +148,40 @@ def similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=-1)
 
 
+# Packaged trained weights (produced by scripts/train_calc_default.py; the
+# counterpart of the reference's build-time calc.caffemodel download,
+# get_model.sh:1-28).  f16 npz with flattened "a/b/kernel" keys.
+DEFAULT_WEIGHTS = "calc_weights.npz"
+
+
+@functools.lru_cache(maxsize=1)
+def load_default_params():
+    """Load the packaged trained CALC encoder weights, or None if absent."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), DEFAULT_WEIGHTS)
+    if not os.path.exists(path):
+        return None
+    return load_params_npz(path)
+
+
+def save_params_npz(path: str, params: dict) -> None:
+    """Save a Flax variables dict as a flat f16 npz (small enough to ship)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v, np.float16)
+            for k, v in flatten_dict(params).items()}
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> dict:
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k], jnp.float32) for k in z.files}
+    return unflatten_dict(flat)
+
+
 class DescriptorModel:
     """Facade choosing between the trained CALC encoder, the reference's
     original Caffe weights, and the HOG default.
@@ -158,12 +192,20 @@ class DescriptorModel:
       (use :meth:`from_caffe`) — runs the reference's own
       deploy.prototxt/calc.caffemodel, imported without Caffe.
     - neither: the deterministic HOG projection.
+
+    :meth:`default` is what the pipeline ships: the packaged trained CALC
+    weights when present (the analog of the reference's downloaded
+    calc.caffemodel), else the HOG projection.
     """
 
     def __init__(self, params: Optional[dict] = None, caffe_net=None):
         self.params = params
         self._encoder = CalcEncoder() if params is not None else None
         self._caffe = caffe_net
+
+    @classmethod
+    def default(cls) -> "DescriptorModel":
+        return cls(params=load_default_params())
 
     @classmethod
     def from_caffe(cls, prototxt: str, caffemodel: str) -> "DescriptorModel":

@@ -121,6 +121,224 @@ def train_encoder(
     return params["enc"], history
 
 
+def _jittered_pose(
+    T: np.ndarray,
+    rng: np.random.Generator,
+    trans: Tuple[float, float, float] = (1.8, 0.4, 1.0),
+    yaw: float = 0.35,
+    pitch: float = 0.06,
+) -> np.ndarray:
+    """Random viewpoint perturbation of a T_wc pose (real-parallax jitter)."""
+    T = T.copy()
+    d = rng.uniform(-1.0, 1.0, 3) * np.asarray(trans)
+    T[:3, 3] += T[:3, :3] @ d
+    ya = rng.uniform(-yaw, yaw)
+    pa = rng.uniform(-pitch, pitch)
+    cy_, sy_ = np.cos(ya), np.sin(ya)
+    cp_, sp_ = np.cos(pa), np.sin(pa)
+    Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+    Rx = np.array([[1, 0, 0], [0, cp_, -sp_], [0, sp_, cp_]])
+    T[:3, :3] = T[:3, :3] @ (Ry @ Rx)
+    return T
+
+
+def render_corpus_pairs(
+    n_places: int = 512,
+    h: int = 240,
+    w: int = 376,
+    fx: float = 320.0,
+    n_scenes: int = 8,
+    seed: int = 0,
+    noise_sigma: float = 1.5,
+    revisit_trans: Tuple[float, float, float] = (1.0, 0.15, 1.5),
+    revisit_yaw: float = 0.12,
+    tiny_frac: float = 0.5,
+    tiny_trans: Tuple[float, float, float] = (0.3, 0.05, 0.4),
+    tiny_yaw: float = 0.03,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render (anchor, revisit) view pairs from several procedural city scenes.
+
+    Each pair is two renders of the SAME place under independent viewpoint
+    jitter — real parallax, the thing warp augmentation cannot produce
+    (foreground occludes background differently between the views).  Places
+    are drawn along each scene's street circuit; scenes vary in footprint
+    and texture seed.  Fully deterministic in ``seed``.
+
+    Returns two (n, h, w) f32 arrays A, B; (A[i], B[i]) is a true-revisit
+    pair, and any (A[i], B[j≠i]) is a (usually hard) negative: same
+    procedural texture family, different place.
+    """
+    import jax
+
+    from stereoslam_tpu.utils.world import (
+        circuit_poses,
+        make_city_circuit,
+        prng_keys,
+        render_frames_batched,
+    )
+
+    rng = np.random.default_rng(seed)
+    per_scene = n_places // n_scenes
+    A = np.empty((per_scene * n_scenes, h, w), np.float32)
+    B = np.empty_like(A)
+    i = 0
+    for s in range(n_scenes):
+        L = float(rng.uniform(70.0, 110.0))
+        Wd = float(rng.uniform(40.0, 60.0))
+        # Scene seeds live in a band far from the small seeds used by tests
+        # and evaluation worlds — held-out evaluation must never see a
+        # texture-identical training scene.
+        scene = make_city_circuit(L, Wd, seed=70001 + seed * 131 + s)
+        starts = rng.uniform(0.0, scene.perimeter, per_scene)
+        Tas, Tbs, kas, kbs = [], [], [], []
+        for k in range(per_scene):
+            T0 = circuit_poses(1, 0.8, L, Wd, 14.0, start=float(starts[k]))[0]
+            Ta = _jittered_pose(T0, rng)
+            Tas.append(Ta)
+            # The revisit view is offset from A by a loop-closure
+            # displacement (same street, roughly the same heading).  A
+            # ``tiny_frac`` share of pairs uses near-identical poses — the
+            # geometry an exact lap revisit presents (~0.2 m).  Descriptor
+            # *stability* under those tiny offsets is what decides whether
+            # the 0.94 threshold fires; training must penalize it directly.
+            if rng.uniform() < tiny_frac:
+                Tbs.append(_jittered_pose(Ta, rng, trans=tiny_trans, yaw=tiny_yaw))
+            else:
+                Tbs.append(_jittered_pose(Ta, rng, trans=revisit_trans, yaw=revisit_yaw))
+            kas.append(prng_keys(seed * 7919 + 2 * (i + k)))
+            kbs.append(prng_keys(seed * 7919 + 2 * (i + k) + 1))
+        common = dict(
+            quads=scene.quads, fx=fx, fy=fx, cx=w / 2.0, cy=h / 2.0, h=h, w=w,
+            noise_sigma=noise_sigma,
+        )
+        A[i : i + per_scene] = render_frames_batched(
+            np.stack(Tas), noise_keys=np.stack(kas), **common
+        )
+        B[i : i + per_scene] = render_frames_batched(
+            np.stack(Tbs), noise_keys=np.stack(kbs), **common
+        )
+        i += per_scene
+    return A, B
+
+
+def _photometric(key, img: jnp.ndarray) -> jnp.ndarray:
+    """Random gain/bias on a [0,1] image (exposure variation between visits)."""
+    k1, k2 = jax.random.split(key)
+    g = jax.random.uniform(k1, (), minval=0.75, maxval=1.3)
+    b = jax.random.uniform(k2, (), minval=-0.08, maxval=0.08)
+    return jnp.clip(img * g + b, 0.0, 1.2)
+
+
+def train_encoder_pairs(
+    A: np.ndarray,
+    B: np.ndarray,
+    steps: int = 3000,
+    batch: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+    contrastive_weight: float = 0.5,
+    temperature: float = 0.07,
+    margin_pos: float = 0.965,
+    margin_neg: float = 0.55,
+    hinge_weight: float = 4.0,
+    weight_decay: float = 1e-4,
+    log_every: int = 100,
+    verbose: bool = False,
+) -> Tuple[Dict, List[Tuple[float, float, float, float]]]:
+    """Train the CALC encoder on real-parallax (anchor, revisit) pairs.
+
+    Loss terms:
+
+    1. **HOG reconstruction** (the CALC objective, CALC paper / reference
+       deeplcd role): a decoder head reconstructs hog(A) from
+       descriptor(warp(A)) — viewpoint-tolerant geometric content in the
+       bottleneck, and a strong regularizer against texture memorization.
+    2. **In-batch InfoNCE** on (enc(A_i), enc(B_i)) both directions —
+       ranking pressure with in-batch hard negatives.
+    3. **Absolute hinge calibration**: relu(margin_pos − sim(A_i, B_i)) and
+       relu(sim(A_i, B_j≠i) − margin_neg).  The reference's shipped
+       thresholds (0.94 / 0.92, KITTI00-02.yaml:79-80) are *absolute*
+       similarities; ranking losses alone leave the scale free, so this
+       term pins revisits above the high threshold and different places
+       far below the low one.
+
+    Photometric gain/bias augmentation on every encoder input decouples the
+    descriptor from exposure; AdamW weight decay fights the dense head
+    memorizing scene textures.
+
+    Returns (encoder_params, history of (total, recon, contrastive, hinge)).
+    """
+    enc = calc.CalcEncoder()
+    hog_dim = calc.hog_features(jnp.zeros(calc.INPUT_HW, jnp.float32)).shape[0]
+    dec = _Decoder(hog_dim=hog_dim)
+
+    key = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros(calc.INPUT_HW, jnp.float32)
+    enc_params = enc.init(key, dummy)
+    dec_params = dec.init(key, enc.apply(enc_params, dummy))
+    params = {"enc": enc_params, "dec": dec_params}
+
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+
+    pre = jax.jit(jax.vmap(calc.preprocess))
+    n = len(A)
+    corpA = np.empty((n,) + calc.INPUT_HW, np.float32)
+    corpB = np.empty_like(corpA)
+    for lo in range(0, n, 64):
+        hi = min(lo + 64, n)
+        corpA[lo:hi] = np.asarray(pre(jnp.asarray(A[lo:hi], jnp.float32)))
+        corpB[lo:hi] = np.asarray(pre(jnp.asarray(B[lo:hi], jnp.float32)))
+
+    hog_t = jax.vmap(calc.hog_features)
+
+    def loss_fn(params, a, b, keys):
+        kw, ka, kb = keys[:, 0], keys[:, 1], keys[:, 2]
+        warped = jax.vmap(_random_warp)(kw, a)
+        warped = jax.vmap(_photometric)(kw, warped)
+        zw = enc.apply(params["enc"], warped)
+        recon = jnp.mean((dec.apply(params["dec"], zw) - hog_t(a)) ** 2)
+
+        za = enc.apply(params["enc"], jax.vmap(_photometric)(ka, a))
+        zb = enc.apply(params["enc"], jax.vmap(_photometric)(kb, b))
+        S = za @ zb.T                              # (B, B) unit-norm sims
+        labels = jnp.arange(a.shape[0])
+        logits = S / temperature
+        ce = optax.softmax_cross_entropy_with_integer_labels
+        contrast = 0.5 * (jnp.mean(ce(logits, labels)) + jnp.mean(ce(logits.T, labels)))
+
+        pos = jnp.diag(S)
+        off = ~jnp.eye(S.shape[0], dtype=bool)
+        hinge = jnp.mean(jax.nn.relu(margin_pos - pos)) + jnp.mean(
+            jax.nn.relu(jnp.where(off, S, -1.0) - margin_neg)
+        )
+        total = recon + contrastive_weight * contrast + hinge_weight * hinge
+        return total, (recon, contrast, hinge)
+
+    @jax.jit
+    def step(params, opt_state, a, b, keys):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, a, b, keys)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    rng = np.random.default_rng(seed)
+    history: List[Tuple[float, float, float, float]] = []
+    for i in range(steps):
+        idx = rng.choice(n, batch, replace=False)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch * 3).reshape(batch, 3, 2)
+        params, opt_state, loss, aux = step(
+            params, opt_state, jnp.asarray(corpA[idx]), jnp.asarray(corpB[idx]), keys
+        )
+        if i % log_every == 0 or i == steps - 1:
+            rec = (float(loss), float(aux[0]), float(aux[1]), float(aux[2]))
+            history.append(rec)
+            if verbose:
+                print(f"step {i}: total {rec[0]:.4f} recon {rec[1]:.4f} "
+                      f"contrast {rec[2]:.4f} hinge {rec[3]:.4f}", flush=True)
+    return params["enc"], history
+
+
 def save_params(path: str, params) -> None:
     import pickle
 

@@ -28,6 +28,7 @@ elementwise math that XLA fuses into the ray-cast loop epilogue.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -268,6 +269,73 @@ def render_frame(
     return img
 
 
+def prng_keys(seeds) -> np.ndarray:
+    """Vectorized host-side PRNG keys (threefry key = [0, seed] u32).
+
+    ``jax.random.PRNGKey`` is a device computation — one tunnel round trip
+    per call on remote TPU, which dominated corpus rendering.  Building the
+    key data on the host is free and bit-identical.
+    """
+    seeds = np.asarray(seeds, np.uint64) & np.uint64(0xFFFFFFFF)
+    out = np.zeros(seeds.shape + (2,), np.uint32)
+    out[..., 1] = seeds.astype(np.uint32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "h", "w"))
+def _render_chunk(T_batch, quads, fx, fy, cx, cy, h, w, cam_offset_x, noise_keys, noise_sigma):
+    # cam_offset_x / noise_sigma stay traced: left and right cameras (and any
+    # noise level) share ONE compiled program — compilation of the vmapped
+    # ray-cast loop is ~90 s over the tunnel, dispatch is ~40 ms per 64 frames.
+    return jax.vmap(
+        lambda T, k: render_frame(
+            T, quads, fx, fy, cx, cy, h, w,
+            cam_offset_x=cam_offset_x, noise_key=k, noise_sigma=noise_sigma,
+        )
+    )(T_batch, noise_keys)
+
+
+def render_frames_batched(
+    T_wc: np.ndarray,
+    quads: Quads,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    h: int,
+    w: int,
+    cam_offset_x: float = 0.0,
+    noise_keys: Optional[np.ndarray] = None,
+    noise_sigma: float = 1.5,
+    chunk: int = 32,
+) -> np.ndarray:
+    """Render many frames per device call (vmap over poses, fixed-size chunks).
+
+    One-at-a-time rendering pays a host->device dispatch round trip per frame
+    — ruinous over a tunneled TPU (~1 s/frame observed).  Chunked vmap makes
+    rendering compute-bound.  The last partial chunk is padded to ``chunk``
+    so only one program is ever compiled.
+    """
+    n = len(T_wc)
+    if noise_keys is None:
+        noise_keys = prng_keys(np.arange(n))
+    out = np.empty((n, h, w), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        Tb = np.asarray(T_wc[lo:hi], np.float32)
+        kb = np.asarray(noise_keys[lo:hi])
+        if hi - lo < chunk:  # pad to the compiled batch shape
+            pad = chunk - (hi - lo)
+            Tb = np.concatenate([Tb, np.repeat(Tb[-1:], pad, 0)])
+            kb = np.concatenate([kb, np.repeat(kb[-1:], pad, 0)])
+        img = _render_chunk(
+            jnp.asarray(Tb), quads, float(fx), float(fy), float(cx), float(cy),
+            int(h), int(w), float(cam_offset_x), jnp.asarray(kb), float(noise_sigma),
+        )
+        out[lo:hi] = np.asarray(img)[: hi - lo]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scene construction: a closed city-block circuit
 # ---------------------------------------------------------------------------
@@ -381,6 +449,15 @@ def make_city_circuit(
     ]
     for a, b, n in outer:
         _facade_row(a, b, rng, -n, 2.5, quads)
+
+    # Pad to a fixed quad count (duplicates of the ground quad — harmless:
+    # equal-t duplicate hits never win the strict `t < best_t` test) so every
+    # scene shares one compiled renderer program regardless of how the random
+    # facade segmentation came out.
+    _PAD_TO = 128
+    if len(quads) > _PAD_TO:
+        raise ValueError(f"scene has {len(quads)} quads > pad bound {_PAD_TO}")
+    quads = quads + [quads[0]] * (_PAD_TO - len(quads))
 
     q = Quads(
         p0=jnp.asarray(np.stack([x["p0"] for x in quads]), jnp.float32),
@@ -524,6 +601,28 @@ def circuit_poses(
     return T
 
 
+def frames_per_lap(
+    step: float = 0.8,
+    length: float = 90.0,
+    width: float = 50.0,
+    corner_radius: float = 14.0,
+    corner_slow: float = 0.55,
+    slow_ramp: float = 4.0,
+) -> int:
+    """Number of frames in one full lap, accounting for corner slowdown
+    (the arc-length integration circuit_poses actually performs)."""
+    seg = [length - 2 * corner_radius, np.pi * corner_radius / 2] * 4
+    P = sum(seg)
+    cur, n = 0.0, 0
+    while cur < P:
+        cur += step * float(
+            _corner_speed(np.array([cur]), length, width, corner_radius,
+                          corner_slow, slow_ramp)[0]
+        )
+        n += 1
+    return n
+
+
 def generate_world_sequence(
     n_frames: int = 240,
     h: int = 240,
@@ -554,20 +653,16 @@ def generate_world_sequence(
 
     T_wc = circuit_poses(n_frames, step, length, width, corner_radius)
 
-    render = jax.jit(
-        lambda T, off, key: render_frame(
-            T, scene.quads, fx, fy, cx, cy, h, w,
-            cam_offset_x=off, noise_key=key, noise_sigma=noise_sigma,
-        ),
-        static_argnums=(),
+    keys_l = prng_keys(seed * 1000003 + 2 * np.arange(n_frames))
+    keys_r = prng_keys(seed * 1000003 + 2 * np.arange(n_frames) + 1)
+    lefts = render_frames_batched(
+        T_wc, scene.quads, fx, fy, cx, cy, h, w,
+        cam_offset_x=0.0, noise_keys=keys_l, noise_sigma=noise_sigma,
     )
-    lefts, rights = [], []
-    for t in range(n_frames):
-        Tj = jnp.asarray(T_wc[t], jnp.float32)
-        kl = jax.random.PRNGKey(seed * 1000003 + 2 * t)
-        kr = jax.random.PRNGKey(seed * 1000003 + 2 * t + 1)
-        lefts.append(np.asarray(render(Tj, 0.0, kl)))
-        rights.append(np.asarray(render(Tj, baseline, kr)))
+    rights = render_frames_batched(
+        T_wc, scene.quads, fx, fy, cx, cy, h, w,
+        cam_offset_x=baseline, noise_keys=keys_r, noise_sigma=noise_sigma,
+    )
 
     T_cw = np.linalg.inv(T_wc)
     return WorldSequence(

@@ -63,6 +63,23 @@ def test_lagged_run_matches_synchronous(seq, lag):
     assert ate < 0.02, f"lag={lag} diverged from synchronous run: ATE {ate:.4f} m"
 
 
+def test_frame_trajectory_matches_polled_poses(seq):
+    """frame_trajectory() (sync-free lag-N pose log) must equal per-frame
+    current_pose() polling when the KF table is never refined afterwards
+    (backend off), at any lag."""
+    cfg = make_cfg(seq)
+    for lag in (0, 4):
+        slam = StereoSlam(cfg, enable_backend=False, enable_loop=False,
+                          readback_lag=lag)
+        polled = []
+        for t in range(24):
+            assert slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
+            polled.append(slam.current_pose())
+        fids, T = slam.frame_trajectory()
+        assert list(fids) == list(range(24))
+        np.testing.assert_allclose(T, np.stack(polled), rtol=0, atol=1e-5)
+
+
 def test_lagged_lost_is_reported_within_lag(seq):
     cfg = make_cfg(seq)
     slam = StereoSlam(cfg, enable_backend=False, enable_loop=False, readback_lag=4)

@@ -1,4 +1,11 @@
-"""End-to-end loop closing on a circular synthetic sequence."""
+"""End-to-end loop closing on a circular synthetic sequence.
+
+This exercises the loop-closing *machinery* (detect/verify/correct/PGO) on
+the fast blob-world with the deterministic HOG descriptor pinned and
+thresholds tuned to its similarity scale.  The shipped operating point —
+trained CALC descriptor at the reference's default thresholds
+(KITTI00-02.yaml:79-88) — is covered end-to-end by test_world_loop.py.
+"""
 
 import dataclasses
 
@@ -7,6 +14,7 @@ import pytest
 
 from stereoslam_tpu.config import LoopClosingConfig
 from stereoslam_tpu.core.system import StereoSlam
+from stereoslam_tpu.models.calc import DescriptorModel
 from stereoslam_tpu.utils.metrics import ate_rmse
 from stereoslam_tpu.utils.synthetic import generate_sequence
 from tests.test_system_vo import make_cfg
@@ -40,7 +48,8 @@ def loop_cfg(seq):
 def test_loop_detected_and_corrected(loop_seq):
     seq = loop_seq
     cfg = loop_cfg(seq)
-    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True)
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True,
+                      descriptor_model=DescriptorModel())
     est = []
     for t in range(len(seq.left)):
         ok = slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
@@ -70,7 +79,8 @@ def test_loop_detected_and_corrected(loop_seq):
 def test_loop_edges_export(tmp_path, loop_seq):
     seq = loop_seq
     cfg = loop_cfg(seq)
-    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True)
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True,
+                      descriptor_model=DescriptorModel())
     for t in range(len(seq.left)):
         assert slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
     if not slam.loop_edges:
