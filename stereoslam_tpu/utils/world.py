@@ -611,8 +611,8 @@ def frames_per_lap(
 ) -> int:
     """Number of frames in one full lap, accounting for corner slowdown
     (the arc-length integration circuit_poses actually performs)."""
-    seg = [length - 2 * corner_radius, np.pi * corner_radius / 2] * 4
-    P = sum(seg)
+    arc = np.pi * corner_radius / 2
+    P = 2 * (length - 2 * corner_radius) + 2 * (width - 2 * corner_radius) + 4 * arc
     cur, n = 0.0, 0
     while cur < P:
         cur += step * float(
