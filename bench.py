@@ -3,15 +3,27 @@
 
 Prints ONE JSON line whose primary fields are
 {"metric", "value", "unit", "vs_baseline"} (full-pipeline FPS at KITTI
-resolution vs the reference's ~50 FPS, reference README.md:98), plus the
-rest of the BASELINE metric set:
+resolution vs the reference's ~50 FPS, reference README.md:98), plus:
 
-- tracking_fps        — frontend-only throughput, same frames
-- ba_iters_per_sec    — windowed-BA LM iterations per second (steady state)
-- frame_ms_p50/p95    — per-frame wall latency under pipelining
-- ate_m, kf_rate, loop_edges — accuracy on the photorealistic world
-  circuit (exact GT; real KITTI imagery cannot be shipped) at the SHIPPED
-  default thresholds, loop closing enabled.
+- tracking_fps          — frontend-only throughput, same frames
+- ba_iters_per_sec      — windowed-BA LM iterations per second (steady state)
+- frame_ms_p50/p95      — TRUE per-frame latency: host clock at enqueue to
+                          host clock at outcome-retire for the SAME frame id
+                          (StereoSlam.frame_latency_ms).  Under lag-N
+                          pipelining per-call wall time only measures enqueue
+                          cost; this metric survives pipelining (VERDICT r2 #6).
+- stages                — per-stage device times (ms) for the hot kernels,
+                          measured in isolation with block_until_ready
+                          (VERDICT r2 #7; SoL analysis in BASELINE.md)
+- world_*               — accuracy on the photorealistic world circuit at
+                          SHIPPED default thresholds via stereoslam_tpu.eval
+                          (the SAME function scripts/eval_world.py runs, so
+                          bench and eval cannot diverge — VERDICT r2 #4)
+
+Throughput phases stream frames through utils.feed.DeviceFeed (input
+pipeline staging the next stereo pair onto the device while the current
+frame computes — the TPU analog of the reference's OS-page-cache-hidden
+disk reads).
 """
 
 import json
@@ -20,6 +32,24 @@ import sys
 import time
 
 import numpy as np
+
+
+def _stage_times(fn, args, reps=30):
+    """Device ms per call of a jitted callable.
+
+    Enqueue ``reps`` independent calls and synchronize ONCE: on a tunneled
+    TPU a per-call block_until_ready measures the ~27 ms host<->device round
+    trip, not the kernel (calls serialize on the device stream, so
+    total/reps converges to true device time plus ~0.3 ms dispatch)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return round((time.perf_counter() - t0) / reps * 1e3, 3)
 
 
 def main():
@@ -55,10 +85,11 @@ def main():
         SlamConfig,
     )
     from stereoslam_tpu.core.system import StereoSlam
+    from stereoslam_tpu.utils.feed import DeviceFeed
     from stereoslam_tpu.utils.synthetic import generate_sequence
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
-    warmup = 8
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    warmup = 12
 
     # ---------------- Phase A: throughput at KITTI 00 geometry ----------------
     # 1241x376, fx=718.856, baseline*fx=386.1448.
@@ -84,47 +115,31 @@ def main():
         image_height=376,
         image_width=1241,
     )
-    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True)
 
-    # Warmup (compilation) until the tracking AND keyframe paths have both
-    # compiled (stereo-init + track + make-KF + BA + loop-process).
-    t = 0
-    for t in range(n_frames // 2):
-        ok = slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
-        if not ok:
-            break
-        if t + 1 >= warmup and int(slam.map.n_kf) >= 2:
-            break
-    warmup = t + 1
+    def run_stream(enable_backend, enable_loop):
+        slam = StereoSlam(cfg, enable_backend=enable_backend, enable_loop=enable_loop)
+        for t in range(warmup):  # compile both tracking and KF paths
+            if not slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t]):
+                break
+        n = 0
+        t0 = time.time()
+        feed = DeviceFeed(
+            ((seq.left[t], seq.right[t], seq.timestamps[t])
+             for t in range(warmup, n_frames))
+        )
+        for lr, ts in feed:
+            if not slam.process_staged(lr, ts):
+                break
+            n += 1
+        slam._drain()
+        jax.block_until_ready(slam.fs.T_rk)
+        dt = time.time() - t0
+        return slam, (n / dt if dt > 0 else 0.0)
 
-    t0 = time.time()
-    frames = 0
-    frame_ms = []
-    for t in range(warmup, n_frames):
-        f0 = time.time()
-        ok = slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
-        frame_ms.append((time.time() - f0) * 1e3)
-        frames += 1
-        if not ok:
-            break
-    jax.block_until_ready(slam.fs.T_rk)
-    dt = time.time() - t0
-    fps = frames / dt if dt > 0 else 0.0
+    slam, fps = run_stream(True, True)
+    lat = np.asarray(slam.frame_latency_ms[warmup:] or slam.frame_latency_ms)
 
-    # Tracking-only throughput on the same frames (reference ~100 FPS with
-    # undistortion skipped is its closest analog, README.md:98).
-    slam_t = StereoSlam(cfg, enable_backend=False, enable_loop=False)
-    for t in range(warmup):
-        if not slam_t.process_frame(seq.left[t], seq.right[t], seq.timestamps[t]):
-            break
-    t0 = time.time()
-    tframes = 0
-    for t in range(warmup, n_frames):
-        if not slam_t.process_frame(seq.left[t], seq.right[t], seq.timestamps[t]):
-            break
-        tframes += 1
-    jax.block_until_ready(slam_t.fs.T_rk)
-    tracking_fps = tframes / max(time.time() - t0, 1e-9)
+    slam_t, tracking_fps = run_stream(False, False)
 
     # Steady-state BA rate: repeated windowed-BA passes over the final map.
     ba_iters_per_sec = 0.0
@@ -140,42 +155,67 @@ def main():
         iters = cfg.backend.ba_rounds * cfg.backend.ba_iters * reps
         ba_iters_per_sec = iters / ba_dt if ba_dt > 0 else 0.0
 
-    # ---------------- Phase B: accuracy on the world circuit ----------------
-    ate_m = None
-    kf_rate = None
-    loop_edges = None
+    # ---------------- Phase S: per-stage device profile ----------------
+    stages = {}
     try:
-        from stereoslam_tpu.utils.metrics import ate_rmse
-        from stereoslam_tpu.utils.world import frames_per_lap, generate_world_sequence
+        import jax.numpy as jnp
 
-        # 1.3 laps: the lap must actually close for the loop-closure stage
-        # to have a revisit to find (frames_per_lap accounts for corner
-        # slowdown; a flat perimeter/step estimate undershoots the lap).
-        n_world = int(os.environ.get(
-            "BENCH_WORLD_FRAMES", str(int(frames_per_lap(0.8, 90.0, 50.0) * 1.3))
-        ))
-        wseq = generate_world_sequence(n_frames=n_world, h=240, w=376, seed=1)
-        wcfg = SlamConfig(
-            camera=CameraConfig(
-                fx=wseq.fx, fy=wseq.fy, cx=wseq.cx, cy=wseq.cy,
-                fx_right=wseq.fx, fy_right=wseq.fy,
-                cx_right=wseq.cx, cy_right=wseq.cy,
-                bf=wseq.fx * wseq.baseline,
-            ),
-            image_height=240,
-            image_width=376,
+        from stereoslam_tpu.ops.image import build_lk_pyramid
+        from stereoslam_tpu.ops.lk import pyramidal_lk
+        from stereoslam_tpu.ops.lm import optimize_pose
+
+        lr = jax.device_put(
+            np.stack([seq.left[-2], seq.right[-2]]).astype(np.uint8)
         )
-        wslam = StereoSlam(wcfg, enable_backend=True, enable_loop=True)
-        for t in range(n_world):
-            if not wslam.process_frame(wseq.left[t], wseq.right[t], wseq.timestamps[t]):
-                break
-        fids, est = wslam.frame_trajectory()
-        est = est.astype(np.float64)
-        gt = np.linalg.inv(wseq.T_cw[fids].astype(np.float64))
-        gt = np.linalg.inv(gt[0]) @ gt
-        ate_m = float(ate_rmse(np.linalg.inv(est), gt, align=False))
-        kf_rate = float(int(wslam.map.n_kf) / len(est))
-        loop_edges = len(wslam.loop_edges)
+        lr2 = jax.device_put(
+            np.stack([seq.left[-1], seq.right[-1]]).astype(np.uint8)
+        )
+        tcfg = cfg.tracking
+        stages["pyramid"] = _stage_times(slam._jit_pyr, (lr,))
+        pyr_a = slam._jit_pyr(lr)
+        pyr_b = slam._jit_pyr(lr2)
+        xy = slam.fs.tracks.xy
+
+        lk = jax.jit(lambda pa, pb, x: pyramidal_lk(
+            pa, pb, x, x, window=tcfg.lk_window, iters=tcfg.lk_iters,
+            eps=tcfg.lk_eps, forward_backward=tcfg.lk_forward_backward,
+        ))
+        stages["lk_flow"] = _stage_times(lk, (pyr_a, pyr_b, xy))
+
+        lm_idx = jnp.maximum(slam.fs.tracks.lm_idx, 0)
+        X = slam.map.lm_pos[lm_idx]
+        mask = slam.fs.tracks.valid & (slam.fs.tracks.lm_idx >= 0)
+        pose = jax.jit(lambda T, Xp, px, mk: optimize_pose(
+            T, Xp, px, mk, slam.intr_left, rounds=tcfg.pose_rounds,
+            iters=tcfg.pose_iters, chi2_threshold=tcfg.chi2_threshold,
+        ))
+        T0 = slam.current_pose().astype(np.float32)
+        stages["pose_lm"] = _stage_times(pose, (jnp.asarray(T0), X, xy, mask))
+
+        stages["frame_program"] = _stage_times(
+            slam._jit_frame,
+            (slam.fs, slam.map, slam._pyr_prev, lr2, jnp.float32(1.0)),
+        )
+        stages["window_ba"] = _stage_times(slam._jit_ba, (slam.map,))
+
+        if getattr(slam, "_loop_closer", None) is not None:
+            lc = slam._loop_closer
+            img = slam._jit_img_f32(lr)
+            kf0 = jnp.int32(max(int(slam.map.n_kf) - 1, 0))
+            stages["kf_descriptors"] = _stage_times(
+                lc._jit_process, (slam.map, slam.loop, img, kf0)
+            )
+            stages["db_scan"] = _stage_times(lc._jit_detect, (slam.loop, kf0))
+    except Exception as e:  # profiling must never zero the bench record
+        sys.stderr.write(f"stage profile failed: {e}\n")
+
+    # ---------------- Phase B: accuracy on the world circuit ----------------
+    world = None
+    try:
+        from stereoslam_tpu import eval as E
+
+        n_world = int(os.environ.get("BENCH_WORLD_FRAMES", "0")) or None
+        world = E.run_world_eval(n_frames=n_world or 0)
     except Exception as e:  # accuracy phase must never zero the bench record
         sys.stderr.write(f"world accuracy phase failed: {e}\n")
 
@@ -186,14 +226,18 @@ def main():
         "vs_baseline": round(fps / 50.0, 3),
         "tracking_fps": round(tracking_fps, 2),
         "ba_iters_per_sec": round(ba_iters_per_sec, 1),
-        "frame_ms_p50": round(float(np.percentile(frame_ms, 50)), 2) if frame_ms else None,
-        "frame_ms_p95": round(float(np.percentile(frame_ms, 95)), 2) if frame_ms else None,
+        "frame_ms_p50": round(float(np.percentile(lat, 50)), 2) if lat.size else None,
+        "frame_ms_p95": round(float(np.percentile(lat, 95)), 2) if lat.size else None,
+        "latency_def": "enqueue->outcome-retire per frame id",
+        "stages_ms": stages,
     }
-    if ate_m is not None:
-        rec["world_ate_m"] = round(ate_m, 3)
-        rec["world_kf_rate"] = round(kf_rate, 3)
-        rec["world_loop_edges"] = loop_edges
-        rec["world_frames"] = n_world
+    if world is not None:
+        rec["world_ate_m"] = world["ate_m"]
+        rec["world_kf_rate"] = world["kf_rate"]
+        rec["world_loop_edges"] = len(world["loop_edges"])
+        rec["world_frames"] = world["frames"]
+        rec["world_edge_gt_dist_m"] = world["edge_gt_dist_m"]
+        rec["world_record"] = world
     print(json.dumps(rec))
 
 

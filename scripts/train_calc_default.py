@@ -25,14 +25,16 @@ import time
 import numpy as np
 
 
-def evaluate_operating_point(model_fn, n_places=96, seed=999):
+def evaluate_operating_point(model_fn, n_places=96, seed=999,
+                             h=240, w=376, fx=320.0):
     """Held-out scenes: revisit vs hard-negative similarity distributions."""
     import jax
     import jax.numpy as jnp
 
     from stereoslam_tpu.models.train_calc import render_corpus_pairs
 
-    A, B = render_corpus_pairs(n_places=n_places, n_scenes=4, seed=seed)
+    A, B = render_corpus_pairs(n_places=n_places, n_scenes=4, seed=seed,
+                               h=h, w=w, fx=fx)
     f = jax.jit(jax.vmap(model_fn))
     za = np.asarray(f(jnp.asarray(A)))
     zb = np.asarray(f(jnp.asarray(B)))
@@ -66,27 +68,46 @@ def main():
         train_encoder_pairs,
     )
 
+    # Mixed-resolution corpus: the same training distribution seen through
+    # two camera geometries with identical FOV (240x376/fx320 — the world
+    # eval camera — and 120x188/fx160 — the CI pinning-test camera).  With
+    # scale-consistent preprocessing (models/calc.py) both land on nearly
+    # identical 120x160 inputs; training on both closes the residual gap
+    # (noise power, pixelation) that sank the round-2 weights off-TPU.
     t0 = time.time()
-    A, B = render_corpus_pairs(
-        n_places=args.places, n_scenes=args.scenes, seed=args.seed
+    A_hi, B_hi = render_corpus_pairs(
+        n_places=args.places // 2, n_scenes=args.scenes // 2, seed=args.seed,
+        h=240, w=376, fx=320.0,
     )
-    print(f"# corpus: {len(A)} pairs in {time.time()-t0:.1f}s", file=sys.stderr)
+    A_lo, B_lo = render_corpus_pairs(
+        n_places=args.places // 2, n_scenes=args.scenes // 2, seed=args.seed + 1,
+        h=120, w=188, fx=160.0,
+    )
+    print(f"# corpus: {len(A_hi)}+{len(A_lo)} pairs in {time.time()-t0:.1f}s",
+          file=sys.stderr)
 
     t0 = time.time()
     params, history = train_encoder_pairs(
-        A, B, steps=args.steps, batch=args.batch, seed=args.seed, verbose=True
+        [A_hi, A_lo], [B_hi, B_lo],
+        steps=args.steps, batch=args.batch, seed=args.seed, verbose=True,
+        # Calibrate revisits ABOVE the 0.94 threshold with real margin
+        # (VERDICT r2: "an operating point with no numeric margin is not an
+        # operating point") — the hinge target sits 3 points above it.
+        margin_pos=0.97,
     )
     print(f"# trained {args.steps} steps in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # Operating point: held-out scenes (the number that matters) plus
-    # training-band scenes (to expose any memorization gap).
+    # Operating point: held-out scenes (the number that matters), at BOTH
+    # camera geometries, plus training-band scenes (memorization gap probe).
     enc = calc.CalcEncoder()
     model_fn = lambda img: enc.apply(params, calc.preprocess(img))
-    op = evaluate_operating_point(model_fn, seed=999)
+    op_hi = evaluate_operating_point(model_fn, seed=999, h=240, w=376, fx=320.0)
+    op_lo = evaluate_operating_point(model_fn, seed=999, h=120, w=188, fx=160.0)
     op_train = evaluate_operating_point(model_fn, seed=args.seed)
     print(json.dumps({
         "history_tail": history[-3:],
-        "operating_point_heldout": op,
+        "operating_point_heldout_240x376": op_hi,
+        "operating_point_heldout_120x188": op_lo,
         "operating_point_trainband": op_train,
     }))
 

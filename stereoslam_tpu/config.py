@@ -111,6 +111,25 @@ class TrackingConfig:
     # imagery while still killing ghost locks (1.0 px measurably rejects
     # good tracks on perspective-correct texture and worsens ATE ~3x).
     lk_forward_backward: float = 2.0
+    # Mid-stream landmark replenishment (TPU-native; the reference only
+    # triangulates on keyframes): on a GOOD frame with fewer inliers than
+    # this, stereo-match + triangulate the alive-but-unlinked track pool
+    # in-program — keyframes then fire on genuine detection need, closing
+    # the keyframe-rate gap vs the reference (~16% on KITTI 00).  0 disables.
+    replenish_min_inliers: int = 80
+    # Skip when the unlinked pool is small: each replenish converts the
+    # whole pool, so a high floor makes replenishes rare-but-effective
+    # (the drained pool is its own cooldown) instead of firing a stereo
+    # pass every sagging frame.
+    replenish_min_pool: int = 40
+    # Maximum frames between keyframes.  The reference's only KF trigger is
+    # "tracking got weak" (frontend.cpp:111-119) — with mid-stream
+    # replenishment tracking can stay strong indefinitely, which would
+    # starve the BA window, the loop database (database_min_size=50 KFs
+    # gates detection) and the pose graph.  A motion-clock trigger restores
+    # the reference's effective KF cadence (~6 frames on KITTI 00,
+    # result/trajectory.txt: 742/4541).  0 disables.
+    kf_max_interval: int = 7
 
 
 @dataclass(frozen=True)
@@ -157,6 +176,24 @@ class LoopClosingConfig:
     min_inliers: int = 10               # loopclosing.cpp:279
     correction_threshold: float = 1.0   # pose-error norm gating correction, loopclosing.cpp:284-289
     insertion_cooldown: int = 5         # KFs skipped after a closed loop, loopclosing.cpp:674-679
+    # --- correction guard rails (TPU-native additions; VERDICT r2 #3).  The
+    # reference applies any verified correction unconditionally
+    # (loopclosing.cpp:437-459) and relies on its descriptor+ORB stack being
+    # discriminative enough; here a marginal verification must not be able
+    # to rewrite the whole map:
+    # 1. pose-inlier RATIO on top of the absolute count (a 10/200 verify is
+    #    no verify);
+    min_inlier_ratio: float = 0.35
+    # 2. correction magnitude must be explainable as accumulated odometry
+    #    drift: |log(T_cur . T_corrected^-1)| <= frac * odometry_distance
+    #    (since the loop KF) + abs;
+    max_correction_frac: float = 0.25
+    max_correction_abs: float = 1.5
+    # 3. post-PGO consistency: mean squared sequential-edge residual after
+    #    optimization must stay below this, else the whole correction
+    #    (fusion + PGO) rolls back atomically.  0.02 = ~0.14 rad/m per-edge
+    #    residual — an order beyond any sane converged graph.
+    max_post_pgo_edge_residual: float = 0.02
     descriptor_dim: int = 1064          # DeepLCD DescrVector, deeplcd.h:25
     descriptor_image_hw: tuple = (120, 160)  # resize target, deeplcd.cpp:43-52
     pnp_ransac_iters: int = 128

@@ -107,7 +107,17 @@ def optimize_active_map(map_state: MapState, intr: Intrinsics, cfg: SlamConfig) 
     dec_target = jnp.where(outlier_obs, lm_safe, L).reshape(-1)
     lm_obs_count = map_state.lm_obs_count.at[dec_target].add(-1, mode="drop")
     lm_obs_count = jnp.maximum(lm_obs_count, 0)
-    orphan = map_state.lm_valid & (lm_obs_count == 0)
+    # Grace period: a landmark whose first-observer KF is still in the
+    # active window may legitimately have zero registered KF observations —
+    # mid-stream replenished landmarks (frontend.py replenish_branch) only
+    # get their row at the NEXT keyframe.  Those are spared; once the window
+    # slides past the anchor KF an observation-less landmark is dead (the
+    # reference's deferred outlier cleanup, map.cpp:126-140).
+    first_all = map_state.lm_first_kf                       # (L,)
+    first_in_window = jnp.any(
+        first_all[:, None] == jnp.where(cam_valid, kf_idx, -2)[None, :], axis=1
+    )
+    orphan = map_state.lm_valid & (lm_obs_count == 0) & ~first_in_window
     lm_outlier = map_state.lm_outlier | orphan
 
     return map_state._replace(

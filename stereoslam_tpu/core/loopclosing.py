@@ -22,12 +22,15 @@ values-in/values-out; the caller orders them.  The 5-KF insertion cooldown
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.core.state import LoopState, MapState
@@ -51,6 +54,15 @@ def _pack_f32(*scalars) -> jnp.ndarray:
     """Stack decision scalars into one small f32 vector so the host reads
     them with a single transfer (0-d fetches each cost a tunnel RTT)."""
     return jnp.stack([jnp.asarray(s).astype(jnp.float32) for s in scalars])
+
+
+def _select_tree(pred, a, b):
+    """Element-wise pytree select: ``a`` where ``pred`` (scalar bool) else
+    ``b``.  Keeps atomic apply-or-rollback decisions inside one jitted
+    program instead of a host round trip."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(jnp.reshape(pred, (1,) * jnp.ndim(x)), x, y), a, b
+    )
 
 
 class VerifyResult(NamedTuple):
@@ -237,8 +249,25 @@ class LoopCloser:
         enough = (n_pairs >= cfg.loop.min_matches) & pnp.ok & (
             refined.num_inliers >= cfg.loop.min_inliers
         )
+        # Guard rails (config.py LoopClosingConfig; VERDICT r2 #3): absolute
+        # inlier counts alone let a 10-of-200 PnP "verify" a loop.  Gate on
+        # the inlier RATIO too, and require the implied correction to be
+        # explainable as odometry drift: its magnitude must not exceed a
+        # fraction of the distance actually driven since the loop KF.
+        ratio_ok = refined.num_inliers.astype(jnp.float32) >= (
+            cfg.loop.min_inlier_ratio * jnp.maximum(n_pairs, 1).astype(jnp.float32)
+        )
+        kf_ids = jnp.arange(map_state.capacity_kf, dtype=jnp.int32)
+        seg = (kf_ids > loop_kf) & (kf_ids <= kf_id) & map_state.kf_valid
+        odo = jnp.sum(
+            jnp.where(seg, jnp.linalg.norm(map_state.kf_rel_prev[:, :3, 3], axis=-1), 0.0)
+        )
         T_cur = map_state.kf_T_cw[kf_id]
         pose_err = jnp.linalg.norm(se3.log(T_cur @ se3.inv(refined.T_cw)))
+        err_ok = pose_err <= (
+            cfg.loop.max_correction_frac * odo + cfg.loop.max_correction_abs
+        )
+        enough = enough & ratio_ok & err_ok
         need_correct = enough & (pose_err > cfg.loop.correction_threshold)
 
         # Register the loop edge on verification (loopclosing.cpp:328-330).
@@ -415,37 +444,78 @@ class LoopCloser:
         lm_pos2 = jnp.where(re_mask[:, None], p_re, m1.lm_pos)
 
         m2 = m1._replace(kf_T_cw=poses_opt, lm_pos=lm_pos2)
+
+        # ---- 7. post-PGO consistency gate with ATOMIC ROLLBACK (guard rail
+        # #3, config.py).  A healthy correction leaves the optimized graph
+        # near-consistent: the loop error redistributes into tiny per-edge
+        # sequential residuals.  A marginal/garbage T_corrected (or a PGO
+        # that failed to converge) leaves large residuals — in that case the
+        # whole correction (fusion + merge + PGO) is discarded and the loop
+        # edge is withdrawn from the graph, so one bad verification can
+        # never poison the map or future optimizations.
+        seq_i = poses_opt
+        seq_j = poses_opt[jnp.maximum(m1.kf_prev, 0)]
+        r_seq = jax.vmap(lambda mi, Ti, Tj: se3.log(mi @ Ti @ se3.inv(Tj)))(
+            se3.inv(m1.kf_rel_prev), seq_i, seq_j
+        )
+        r2 = jnp.sum(r_seq * r_seq, axis=-1)
+        n_seq = jnp.maximum(jnp.sum(seq_valid.astype(jnp.int32)), 1)
+        mean_res = jnp.sum(jnp.where(seq_valid, r2, 0.0)) / n_seq
+        finite = jnp.all(jnp.isfinite(poses_opt)) & jnp.all(jnp.isfinite(lm_pos2))
+        applied = finite & (mean_res <= cfg.loop.max_post_pgo_edge_residual)
+
+        m_roll = map_state._replace(
+            kf_loop=map_state.kf_loop.at[kf_id].set(-1)
+        )
+        m_out = _select_tree(applied, m2, m_roll)
+        remap_out = jnp.where(applied, remap, jnp.arange(L, dtype=jnp.int32))
         loop_out = loop._replace(last_closed_kf=kf_id)
-        return m2, loop_out, remap
+        return m_out, loop_out, remap_out, _pack_f32(applied, mean_res)
 
     # ------------------------------------------------------------------
-    def detect_and_correct(
-        self, map_state: MapState, loop: LoopState, kf_id
-    ) -> Tuple[MapState, LoopState, bool, int]:
-        """Run detection → verification → correction for keyframe ``kf_id``.
+    def start_detect(self, loop: LoopState, kf_id):
+        """Enqueue loop detection for keyframe ``kf_id`` WITHOUT waiting.
 
-        Returns (map, loop, closed, loop_kf_id).  Mirrors the control flow of
-        LoopClosingRun (loopclosing.cpp:52-80) with host branches on scalars.
-        Host round trips are minimized for a tunneled TPU: the cooldown and
-        database-size branches use host-mirrored counters (zero fetches), and
-        detection/verification each cost exactly one packed-array fetch.
+        Returns an opaque token for :meth:`finish_detect`, or None when the
+        host-mirrored counters already decide (cooldown / database warm-up).
+        The detection result travels home via ``copy_to_host_async`` and is
+        inspected one keyframe later — the same staleness the reference's
+        loop-closing THREAD has (its queue decouples detection from the
+        frame loop, loopclosing.cpp:52-80), and it keeps the per-keyframe
+        tunnel round trip off the tracking path.
         """
         cfg = self.cfg.loop
         kf_id = int(kf_id)
         if self._host_last_closed is None:
             self.sync_host_counters(loop)
         if kf_id - self._host_last_closed <= cfg.insertion_cooldown:
+            return None
+        if self._host_db_size <= cfg.database_min_size:
+            return ("warmup", kf_id)
+        det, det_packed = self._jit_detect(loop, jnp.int32(kf_id))
+        if hasattr(det_packed, "copy_to_host_async"):
+            det_packed.copy_to_host_async()
+        return ("detect", kf_id, det, det_packed)
+
+    def finish_detect(
+        self, map_state: MapState, loop: LoopState, token
+    ) -> Tuple[MapState, LoopState, bool, int]:
+        """Resolve a :meth:`start_detect` token: db bookkeeping, then (on a
+        hit) verification and correction.  Returns (map, loop, closed,
+        loop_kf_id)."""
+        cfg = self.cfg.loop
+        if token is None:
             return map_state, loop, False, -1
+        kf_id = token[1]
 
         def add_to_db(lp: LoopState) -> LoopState:
             self._host_db_size += 1
             return lp._replace(db_valid=lp.db_valid.at[kf_id].set(True))
 
-        if self._host_db_size <= cfg.database_min_size:
+        if token[0] == "warmup":
             return map_state, add_to_db(loop), False, -1
-
-        det, det_packed = self._jit_detect(loop, jnp.int32(kf_id))
-        dp = np.asarray(det_packed)  # ONE fetch: [found, loop_kf, max_score]
+        _, _, det, det_packed = token
+        dp = np.asarray(det_packed)  # async-copied at start_detect
         if not bool(dp[0]):
             return map_state, add_to_db(loop), False, -1
         loop_kf = int(dp[1])
@@ -463,14 +533,38 @@ class LoopCloser:
         self._host_last_closed = kf_id
         loop = loop._replace(last_closed_kf=jnp.int32(kf_id))
         if bool(vp[1]):
-            map_state, loop, remap = self._jit_correct(
+            map_state, loop, remap, cpk = self._jit_correct(
                 map_state, loop, jnp.int32(kf_id), det.loop_kf,
                 verify.T_corrected, verify.match_loop_feat,
             )
+            cp = np.asarray(cpk)  # ONE fetch: [applied, post_pgo_mean_residual]
+            if not bool(cp[0]):
+                # Post-PGO consistency gate fired: the correction was rolled
+                # back atomically on device (loop edge withdrawn, map
+                # untouched).  Cooldown stays set so a marginal pair cannot
+                # refire every keyframe.
+                log.warning(
+                    "loop correction ROLLED BACK (KF %d -> %d): post-PGO "
+                    "mean edge residual %.4f exceeds %.4f",
+                    kf_id, loop_kf, float(cp[1]),
+                    self.cfg.loop.max_post_pgo_edge_residual,
+                )
+                self._last_remap = None
+                return map_state, loop, False, -1
             self._last_remap = remap
         else:
             self._last_remap = None
         return map_state, loop, True, loop_kf
+
+    def detect_and_correct(
+        self, map_state: MapState, loop: LoopState, kf_id
+    ) -> Tuple[MapState, LoopState, bool, int]:
+        """Synchronous detection → verification → correction (the pipelined
+        path is start_detect/finish_detect; this wrapper serves tests and
+        non-latency-critical callers)."""
+        return self.finish_detect(
+            map_state, loop, self.start_detect(loop, int(kf_id))
+        )
 
     def remap_tracks(self, lm_idx: jnp.ndarray) -> jnp.ndarray:
         """Apply the last correction's landmark merge to frontend tracks."""

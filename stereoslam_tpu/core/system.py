@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -88,6 +89,7 @@ class StereoSlam:
         self.fs, self.map, self.loop = init_all(cfg)
         self.async_ba = True   # overlap BA with tracking (reference-style)
         self._pending_ba = None
+        self._pending_loop = None  # deferred loop-detection token (1-KF lag)
         self._pyr_prev = None
         self._frame_count = 0
         self._loop_edges: List[Tuple[int, int]] = []
@@ -97,6 +99,11 @@ class StereoSlam:
         self._ts_by_frame: Dict[int, float] = {}
         # Per-frame (T_rk, ref_kf) readbacks, filled lag-N behind the stream.
         self._pose_log: Dict[int, Tuple[np.ndarray, int]] = {}
+        # True per-frame latency: host clock at enqueue vs at outcome-retire
+        # for the same frame id (so the number stays meaningful under lag-N
+        # pipelining, where per-call wall time only measures enqueue cost).
+        self._enqueue_t: Dict[int, float] = {}
+        self.frame_latency_ms: List[float] = []
         self.metrics: Dict[str, List[float]] = {"num_inliers": [], "num_tracked": []}
         self.profiler = Profiler()
         # Frame-outcome readback lag (see process_frame).  On an accelerator
@@ -137,11 +144,14 @@ class StereoSlam:
 
         # Images cross host->device as uint8 (4x less wire traffic — matters
         # a lot when the TPU sits behind a tunnel) and widen on device.
-        self._jit_pyr = jax.jit(lambda u8: build_lk_pyramid(self._pre_left(u8), lk_levels))
-        self._jit_pyr_right = jax.jit(
-            lambda u8: build_lk_pyramid(self._pre_right(u8), lk_levels)
+        # The stereo pair always travels as ONE stacked (2, H, W) buffer.
+        self._jit_pyr = jax.jit(
+            lambda lr: build_lk_pyramid(self._pre_left(lr[0]), lk_levels)
         )
-        self._jit_img_f32 = jax.jit(self._pre_left)
+        self._jit_pyr_right = jax.jit(
+            lambda lr: build_lk_pyramid(self._pre_right(lr[1]), lk_levels)
+        )
+        self._jit_img_f32 = jax.jit(lambda lr: self._pre_left(lr[0]))
         self._status = INITING
 
         self.inline_ba = (
@@ -155,16 +165,20 @@ class StereoSlam:
             else None
         )
 
-        def _frame(fs, m, pyr_prev, left_u8, right_u8, ts):
+        def _frame(fs, m, pyr_prev, lr_u8, ts):
             # The entire tracked frame — pyramid, LK, pose LM, status, the
             # conditional keyframe creation, and (inline_ba) the windowed
             # BA — as ONE device program.  The host never syncs inside the
             # frame loop; outcomes are read back ``readback_lag`` frames
-            # later (see process_frame).
-            left_f32 = self._pre_left(left_u8)
+            # later (see process_frame).  The stereo pair arrives as ONE
+            # stacked (2, H, W) uint8 buffer: on the tunneled TPU each
+            # host->device transfer carries per-call queueing cost well above
+            # its byte cost once frame programs are in flight, so one
+            # transfer per frame, not two.
+            left_f32 = self._pre_left(lr_u8[0])
             return frontend_mod.frame_step(
                 left_f32,
-                lambda: self._pre_right(right_u8),
+                lambda: self._pre_right(lr_u8[1]),
                 pyr_prev, fs, m,
                 self.intr_left, self.intr_right, self.baseline, ts, cfg,
                 ba_fn=_inline_ba_fn,
@@ -205,17 +219,29 @@ class StereoSlam:
         """
         if self._status == LOST:
             return False
+        lr_u8 = jax.device_put(
+            np.stack([np.asarray(left), np.asarray(right)]).astype(np.uint8)
+        )
+        return self.process_staged(lr_u8, timestamp)
+
+    def process_staged(self, lr_u8, timestamp: float) -> bool:
+        """Track one stereo frame whose stacked (2, H, W) uint8 pair is
+        already on device (e.g. staged ahead by
+        :class:`~stereoslam_tpu.utils.feed.DeviceFeed`).  Pre-staging
+        overlaps the host->device image transfer with the previous frame's
+        compute — the input-pipeline idiom; the reference overlaps disk
+        reads the same way via its OS page cache."""
+        if self._status == LOST:
+            return False
 
         rec = self.profiler.start_frame(self._frame_count, float(timestamp))
         self._ts_by_frame[self._frame_count] = float(timestamp)
-        left_u8 = jax.device_put(np.asarray(left).astype(np.uint8))
         ts = jnp.float32(timestamp)
 
         if self._status == INITING:
-            pyr_left = self._jit_pyr(left_u8)
-            left_f32 = self._jit_img_f32(left_u8)
-            right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
-            pyr_right = self._jit_pyr_right(right_u8)
+            pyr_left = self._jit_pyr(lr_u8)
+            left_f32 = self._jit_img_f32(lr_u8)
+            pyr_right = self._jit_pyr_right(lr_u8)
             fs, m, kf_id, n_lm = self._jit_stereo_init(
                 left_f32, pyr_left, pyr_right, self.fs, self.map, timestamp=ts
             )
@@ -242,17 +268,17 @@ class StereoSlam:
             return True
 
         self._poll_async()
-        right_u8 = jax.device_put(np.asarray(right).astype(np.uint8))
         with self.profiler.stage("track"):
             fs, m, pyr_left, counts = self._jit_frame(
-                self.fs, self.map, self._pyr_prev, left_u8, right_u8, ts
+                self.fs, self.map, self._pyr_prev, lr_u8, ts
             )
         if hasattr(counts, "copy_to_host_async"):
             counts.copy_to_host_async()
             fs.T_rk.copy_to_host_async()
         self.fs, self.map, self._pyr_prev = fs, m, pyr_left
+        self._enqueue_t[self._frame_count] = time.perf_counter()
         self._inflight.append(
-            (self._frame_count, counts, left_u8, pyr_left, fs.T_rk, fs.ref_kf)
+            (self._frame_count, counts, lr_u8, pyr_left, fs.T_rk)
         )
         self._frame_count += 1
         while len(self._inflight) > self.readback_lag:
@@ -264,19 +290,24 @@ class StereoSlam:
         return self._status != LOST
 
     # ------------------------------------------------------------------
-    def _retire(self, frame_idx: int, counts, left_u8, pyr_left,
-                T_rk=None, ref_kf=None) -> None:
+    def _retire(self, frame_idx: int, counts, lr_u8, pyr_left,
+                T_rk=None) -> None:
         """Process the (lagged) outcome of an already-enqueued frame: record
         metrics, update host-visible status, and launch the per-keyframe work
-        (BA + loop closing) if that frame created one."""
+        (BA + loop closing) if that frame created one.
+
+        Zero device syncs on the steady-state tracked path: ``counts``
+        (incl. status/kf_id/ref_kf) and ``T_rk`` were both
+        ``copy_to_host_async()``-ed at enqueue time, so by retirement —
+        ``readback_lag`` frames later — the host copies already exist and
+        ``np.asarray`` is a local read, not a device round trip.  (Round 2
+        fetched ``ref_kf`` cold here; that single synchronous fetch cost
+        20 vs 66 FPS on the tunneled chip.)"""
         c = np.asarray(counts)
-        n_inliers, n_tracked, status, kf_id = (int(x) for x in c)
-        if T_rk is not None:
-            # KF-relative pose log (reference frame-trajectory semantics:
-            # every frame anchored to its reference KF; absolutes resolved
-            # against the final refined KF table by frame_trajectory()).
-            rk, rf = jax.device_get((T_rk, ref_kf))
-            self._pose_log[frame_idx] = (np.asarray(rk), int(rf))
+        n_inliers, n_tracked, status, kf_id, ref_kf = (int(x) for x in c)
+        t_enq = self._enqueue_t.pop(frame_idx, None)
+        if t_enq is not None:
+            self.frame_latency_ms.append((time.perf_counter() - t_enq) * 1e3)
         self.metrics["num_inliers"].append(n_inliers)
         self.metrics["num_tracked"].append(n_tracked)
         self._status = status
@@ -285,19 +316,29 @@ class StereoSlam:
                 "tracking LOST at frame %d (%d inliers)", frame_idx, n_inliers
             )
             return
+        if T_rk is not None:
+            # KF-relative pose log (reference frame-trajectory semantics:
+            # every frame anchored to its reference KF; absolutes resolved
+            # against the final refined KF table by frame_trajectory()).
+            # Skipped for LOST frames — a lost frame's pose is garbage and
+            # would poison the frame-trajectory ATE.
+            self._pose_log[frame_idx] = (np.asarray(T_rk), ref_kf)
         if kf_id >= 0:
             if self.profiler._current is not None:
                 self.profiler._current.keyframe_id = kf_id
             self._flush_pending_ba()
-            left_f32 = self._jit_img_f32(left_u8)
+            left_f32 = self._jit_img_f32(lr_u8)
             self._after_keyframe(left_f32, pyr_left, kf_id)
 
     def _drain(self) -> None:
-        """Retire every in-flight frame (used before reading map state)."""
+        """Retire every in-flight frame and resolve the pending loop
+        decision (used before reading map state)."""
         while self._inflight:
             self._retire(*self._inflight.pop(0))
             if self._status == LOST:
                 self._inflight.clear()
+        if self.enable_loop:
+            self._flush_loop_decision()
 
     # ------------------------------------------------------------------
     def _after_keyframe(self, left, pyr_left, kf_id: int, force_ba: bool = False) -> None:
@@ -326,11 +367,26 @@ class StereoSlam:
     def _run_loop_closing(self, kf_id: int) -> None:
         if not self.enable_loop:
             return
+        # Pipelined loop decision: resolve the PREVIOUS keyframe's detection
+        # (its async-copied verdict is long home by now), then enqueue this
+        # keyframe's — so the detection round trip never blocks the frame
+        # loop.  Same decoupling as the reference's loop-closing thread
+        # queue (loopclosing.cpp:52-80), bounded at one KF of staleness.
+        self._flush_loop_decision()
+        self._pending_loop = self._loop_closer.start_detect(self.loop, int(kf_id))
+
+    def _flush_loop_decision(self) -> None:
+        token = self._pending_loop
+        if token is None:
+            return
+        self._pending_loop = None
+        kf_id = token[1]
         # Loop correction rewrites the map; it must see the BA result
         # (the reference pauses the backend here, loopclosing.cpp:445-449).
+        # Swapping in a finished async BA costs no sync.
         self._flush_pending_ba()
-        self.map, self.loop, closed, loop_kf = self._loop_closer.detect_and_correct(
-            self.map, self.loop, int(kf_id)
+        self.map, self.loop, closed, loop_kf = self._loop_closer.finish_detect(
+            self.map, self.loop, token
         )
         if closed:
             self._loop_edges.append((kf_id, int(loop_kf)))
@@ -439,5 +495,7 @@ class StereoSlam:
         self._status = int(self.fs.status)
         self._pyr_prev = pyr
         self._inflight = []
+        self._enqueue_t = {}
+        self._pending_loop = None
         if self.enable_loop:
             self._loop_closer.sync_host_counters(self.loop)

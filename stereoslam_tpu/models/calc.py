@@ -39,8 +39,26 @@ INPUT_HW = (120, 160)  # rows, cols — deeplcd.cpp:50 resizes to (160, 120) WxH
 
 
 def preprocess(img: jnp.ndarray) -> jnp.ndarray:
-    """Blur + resize to the CALC input size (deeplcd.cpp:43-52), scale to [0,1]."""
-    img = gaussian_blur(img, sigma=2.0, radius=3)
+    """Anti-aliased blur + resize to the CALC input size, scale to [0,1].
+
+    The reference blurs with a FIXED kernel before the resize
+    (deeplcd.cpp:43-52), which makes the network input depend on the source
+    resolution: a 1241-wide KITTI frame reaches 160x120 with 7.8x aliasing
+    while a 188-wide frame arrives nearly sharp.  Round 2 shipped weights
+    trained at one resolution and pinned by tests at another, and the
+    operating point did not transfer (ADVICE r2 #2).  Here the blur sigma
+    scales with the per-axis downscale factor (~1 output-pixel of blur
+    regardless of source size), so the same place renders to (almost) the
+    same descriptor at any camera resolution.
+    """
+    h, w = img.shape[-2:]
+    sy = max(1.0, h / INPUT_HW[0])
+    sx = max(1.0, w / INPUT_HW[1])
+    img = gaussian_blur(
+        img,
+        sigma=sy, radius=int(math.ceil(2.5 * sy)),
+        sigma_x=sx, radius_x=int(math.ceil(2.5 * sx)),
+    )
     img = resize_bilinear(img, INPUT_HW)
     return img / 255.0
 
@@ -49,11 +67,19 @@ class CalcEncoder(nn.Module):
     """CALC-style convolutional encoder.
 
     conv1(64,5x5,s2) -> relu -> conv2(128,4x4,s2) -> relu ->
-    conv3(4,3x3,s1) -> flatten -> dense(1064).  bfloat16 activations keep
-    the convs on the MXU; the output is cast back to f32 and L2-normalized.
+    conv3(4,3x3,s1) -> flatten -> dense(1064), L2-normalized f32 output.
+
+    Inference runs in float32 by default: the 0.94/0.92 decision thresholds
+    sit within ~0.01 of the revisit similarity distribution, and bf16
+    activations move individual similarities by up to ~0.02 — enough to flip
+    detections between platforms (VERDICT r2 #2).  The whole forward pass is
+    one small conv stack on a 120x160 input executed once per keyframe, so
+    f32 costs nothing measurable; pass dtype=jnp.bfloat16 explicitly for
+    batched offline workloads where throughput matters more than the
+    absolute operating point.
     """
 
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -221,6 +221,22 @@ def render_corpus_pairs(
     return A, B
 
 
+def preprocess_corpus(A) -> np.ndarray:
+    """Blur+resize a corpus (array or list of arrays of any resolutions) to
+    the network input size; returns one (N,) + INPUT_HW f32 array."""
+    groups = list(A) if isinstance(A, (list, tuple)) else [A]
+    out = []
+    for g in groups:
+        g = np.asarray(g, np.float32)
+        pre = jax.jit(jax.vmap(calc.preprocess))
+        buf = np.empty((len(g),) + calc.INPUT_HW, np.float32)
+        for lo in range(0, len(g), 64):
+            hi = min(lo + 64, len(g))
+            buf[lo:hi] = np.asarray(pre(jnp.asarray(g[lo:hi])))
+        out.append(buf)
+    return np.concatenate(out, axis=0)
+
+
 def _photometric(key, img: jnp.ndarray) -> jnp.ndarray:
     """Random gain/bias on a [0,1] image (exposure variation between visits)."""
     k1, k2 = jax.random.split(key)
@@ -281,14 +297,13 @@ def train_encoder_pairs(
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
 
-    pre = jax.jit(jax.vmap(calc.preprocess))
-    n = len(A)
-    corpA = np.empty((n,) + calc.INPUT_HW, np.float32)
-    corpB = np.empty_like(corpA)
-    for lo in range(0, n, 64):
-        hi = min(lo + 64, n)
-        corpA[lo:hi] = np.asarray(pre(jnp.asarray(A[lo:hi], jnp.float32)))
-        corpB[lo:hi] = np.asarray(pre(jnp.asarray(B[lo:hi], jnp.float32)))
+    # A/B may be single (N, H, W) arrays or lists of arrays at DIFFERENT
+    # render resolutions (after scale-consistent preprocess they all land on
+    # INPUT_HW): training across resolutions is what makes the shipped
+    # operating point hold for any camera, not just the training camera.
+    corpA = preprocess_corpus(A)
+    corpB = preprocess_corpus(B)
+    n = len(corpA)
 
     hog_t = jax.vmap(calc.hog_features)
 

@@ -26,25 +26,40 @@ def _gaussian_taps(sigma: float, radius: int) -> tuple:
     return tuple(x / s for x in xs)
 
 
-def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+def gaussian_blur(
+    img: jnp.ndarray,
+    sigma: float = 2.0,
+    radius: int = 3,
+    sigma_x: float | None = None,
+    radius_x: int | None = None,
+) -> jnp.ndarray:
     """Separable Gaussian blur with edge replication.
 
     Matches the role of ``cv::GaussianBlur(image, 7, 7, 2, 2, BORDER_REFLECT)``
     used before BRIEF sampling (reference ORBextractor.cpp:1200-1205).
     Implemented as 2x(2r+1) shifted adds so XLA fuses it into a single
     vectorized pass — no conv dim juggling for a single-channel image.
+
+    ``sigma_x``/``radius_x``: optional separate horizontal-axis kernel
+    (anisotropic blur — used for aspect-correct anti-aliasing before a
+    non-uniform downscale); defaults to the vertical one.
     """
     taps = _gaussian_taps(float(sigma), int(radius))
+    taps_x = (
+        _gaussian_taps(float(sigma_x), int(radius_x))
+        if sigma_x is not None
+        else taps
+    )
     pad = radius
-    padded = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
+    pad_x = int(radius_x) if radius_x is not None else pad
+    padded = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
     h, w = img.shape
     out = jnp.zeros_like(img)
     for i, t in enumerate(taps):
-        out = out + t * jax.lax.dynamic_slice(padded, (i, pad), (h, w))
-    tmp = jnp.pad(out, ((0, 0), (0, 0)))
+        out = out + t * jax.lax.dynamic_slice(padded, (i, 0), (h, w))
     out2 = jnp.zeros_like(img)
-    padded2 = jnp.pad(tmp, ((0, 0), (pad, pad)), mode="edge")
-    for i, t in enumerate(taps):
+    padded2 = jnp.pad(out, ((0, 0), (pad_x, pad_x)), mode="edge")
+    for i, t in enumerate(taps_x):
         out2 = out2 + t * jax.lax.dynamic_slice(padded2, (0, i), (h, w))
     return out2
 

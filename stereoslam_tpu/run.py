@@ -56,17 +56,28 @@ def main(argv=None) -> int:
         live = LiveView(args.output)
     t0 = time.time()
     n = 0
-    for left, right, ts in kitti.frames(args.sequence_dir):
-        ok = slam.process_frame(left, right, ts)
+    # Stream through the device feed: frame t+1's stereo pair uploads while
+    # frame t computes (utils/feed.py) — the transfer never sits on the
+    # frame loop's critical path.
+    from stereoslam_tpu.utils.feed import DeviceFeed
+
+    def _host_frames():
+        for i, (left, right, ts) in enumerate(kitti.frames(args.sequence_dir)):
+            if args.max_frames and i >= args.max_frames:
+                return
+            if live is not None:
+                _host_frames.last = left
+            yield left, right, ts
+
+    for lr, ts in DeviceFeed(_host_frames()):
+        ok = slam.process_staged(lr, ts)
         n += 1
         if n % 100 == 0:
             log.info("frame %d (%.1f FPS)", n, n / (time.time() - t0))
         if live is not None and n % args.plot_every == 0:
-            live.update(slam, left)
+            live.update(slam, getattr(_host_frames, "last", None))
         if not ok:
             log.warning("tracking lost — stopping (reference behavior)")
-            break
-        if args.max_frames and n >= args.max_frames:
             break
     dt = time.time() - t0
     log.info("processed %d frames in %.1fs (%.1f FPS avg)", n, dt, n / dt)

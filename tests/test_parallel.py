@@ -168,8 +168,10 @@ def test_multiseq_vo_matches_single(rng):
     # Both sequences' poses track their own ground truth.
     import numpy.linalg as la
 
+    vo.drain()
     for b, seq in enumerate((seqA, seqB)):
-        T_kf = np.asarray(vo.maps.kf_T_cw[b, 0])
+        ref = int(np.asarray(vo.fs.ref_kf[b]))  # motion-clock KFs advance this
+        T_kf = np.asarray(vo.maps.kf_T_cw[b, ref])
         T_rk = np.asarray(vo.fs.T_rk[b]).astype(np.float64)
         est = T_rk @ T_kf.astype(np.float64)
         gt = seq.T_cw[11].astype(np.float64)
@@ -250,7 +252,14 @@ def test_system_with_mesh_runs_loop(rng):
     )
     cfg = loop_cfg(seq)
     mesh = make_mesh()
-    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True, mesh=mesh)
+    # loop_cfg's thresholds are tuned for the HOG surrogate on the synthetic
+    # blob world; pin that descriptor (like test_system_loop does) so the
+    # default trained-CALC weights — out of distribution here — don't decide
+    # this mesh-plumbing test (ADVICE r2).
+    from stereoslam_tpu.models.calc import DescriptorModel
+
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True, mesh=mesh,
+                      descriptor_model=DescriptorModel())
     for t in range(len(seq.left)):
         assert slam.process_frame(seq.left[t], seq.right[t], seq.timestamps[t])
     assert len(slam.loop_edges) >= 1
