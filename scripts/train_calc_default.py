@@ -86,6 +86,29 @@ def main():
     print(f"# corpus: {len(A_hi)}+{len(A_lo)} pairs in {time.time()-t0:.1f}s",
           file=sys.stderr)
 
+    # Held-out probe for early stopping: fresh scenes/places (seed 777,
+    # disjoint from training, CI-test (555) and world-eval seeds), scored by
+    # what the pipeline actually needs — revisits above the high threshold
+    # without negatives crossing the low one.  The best-probe checkpoint is
+    # what ships, not the last step.
+    import jax
+    import jax.numpy as jnp
+
+    A_p, B_p = render_corpus_pairs(n_places=48, n_scenes=4, h=120, w=188,
+                                   fx=160.0, seed=777)
+    enc_probe = calc.CalcEncoder()
+    probe_f = jax.jit(jax.vmap(lambda p, img: enc_probe.apply(p, calc.preprocess(img)),
+                               in_axes=(None, 0)))
+    A_pj, B_pj = jnp.asarray(A_p), jnp.asarray(B_p)
+
+    def probe_fn(enc_params):
+        za = np.asarray(probe_f(enc_params, A_pj))
+        zb = np.asarray(probe_f(enc_params, B_pj))
+        S = za @ zb.T
+        pos = np.diag(S)
+        neg = S[~np.eye(len(S), dtype=bool)]
+        return float(np.median(pos)) - 5.0 * float((neg >= 0.92).mean())
+
     t0 = time.time()
     params, history = train_encoder_pairs(
         [A_hi, A_lo], [B_hi, B_lo],
@@ -94,6 +117,9 @@ def main():
         # (VERDICT r2: "an operating point with no numeric margin is not an
         # operating point") — the hinge target sits 3 points above it.
         margin_pos=0.97,
+        weight_decay=3e-4,
+        probe_fn=probe_fn,
+        probe_every=500,
     )
     print(f"# trained {args.steps} steps in {time.time()-t0:.1f}s", file=sys.stderr)
 

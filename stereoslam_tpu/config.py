@@ -111,6 +111,26 @@ class TrackingConfig:
     # imagery while still killing ghost locks (1.0 px measurably rejects
     # good tracks on perspective-correct texture and worsens ATE ~3x).
     lk_forward_backward: float = 2.0
+    # Rescue LK pass seeded at the previous positions, fired (device-side
+    # cond) only when more than this fraction of valid tracks failed the
+    # seeded pass — i.e. when the constant-velocity prior misled (corner
+    # entries).  0 disables.
+    lk_retry_fail_frac: float = 0.2
+    # Pose trust region (frontend.py track_step): reject an LM pose that is
+    # BOTH weak (inliers < tracking_good) and further than
+    # factor*|log(T_vel)| + min from the motion prediction; dead-reckon that
+    # frame instead.  Breaks the wild-pose -> poisoned-keyframe death
+    # spiral at corner entries.  factor 0 disables.
+    pose_trust_factor: float = 3.0
+    pose_trust_min: float = 0.5
+    # Unlink a feature<->landmark link only when its final chi2 exceeds
+    # unlink_chi2_factor * chi2_threshold (counting/status still use the
+    # reference's threshold).  1.0 = reference parity (unlink at the
+    # counting bar, frontend.cpp:255-270).  Values > 1 keep borderline
+    # links alive; measured on the world circuit the retained links block
+    # slot re-triangulation and do NOT raise the inlier pool, so parity
+    # ships.
+    unlink_chi2_factor: float = 1.0
     # Mid-stream landmark replenishment (TPU-native; the reference only
     # triangulates on keyframes): on a GOOD frame with fewer inliers than
     # this, stereo-match + triangulate the alive-but-unlinked track pool
@@ -130,6 +150,10 @@ class TrackingConfig:
     # the reference's effective KF cadence (~6 frames on KITTI 00,
     # result/trajectory.txt: 742/4541).  0 disables.
     kf_max_interval: int = 7
+    # Minimum frames between keyframes (throttles a BAD->KF-every-frame
+    # stretch; measured on the world circuit it trades drift for outright
+    # LOST, so it ships disabled).  0 disables.
+    kf_min_interval: int = 0
 
 
 @dataclass(frozen=True)
@@ -194,6 +218,17 @@ class LoopClosingConfig:
     #    (fusion + PGO) rolls back atomically.  0.02 = ~0.14 rad/m per-edge
     #    residual — an order beyond any sane converged graph.
     max_post_pgo_edge_residual: float = 0.02
+    # Global pose-graph optimization budget for corrections.  A loop closure
+    # fixes both chain ends (active window at corrected poses, loop KF + KF0
+    # at old poses) and asks CG to propagate the correction through every
+    # free vertex between them; a K-vertex chain needs O(K) CG iterations
+    # (condition number ~K^2 under Jacobi), so the windowed-BA budget the
+    # round-2 code reused (20x64) left the graph unconverged — which the
+    # rollback gate then correctly refused.  (The reference gives g2o 20 LM
+    # iterations with a DIRECT sparse solver, loopclosing.cpp:605-606 —
+    # exact linear solves need no such budget.)
+    pgo_gn_iters: int = 30
+    pgo_cg_iters: int = 512
     descriptor_dim: int = 1064          # DeepLCD DescrVector, deeplcd.h:25
     descriptor_image_hw: tuple = (120, 160)  # resize target, deeplcd.cpp:43-52
     pnp_ransac_iters: int = 128

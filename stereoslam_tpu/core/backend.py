@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from stereoslam_tpu.config import SlamConfig
 from stereoslam_tpu.core.state import MapState
+from stereoslam_tpu.ops import se3
 from stereoslam_tpu.ops.camera import Intrinsics
 from stereoslam_tpu.ops.schur import BAProblem, solve_window_ba
 
@@ -90,6 +91,23 @@ def optimize_active_map(map_state: MapState, intr: Intrinsics, cfg: SlamConfig) 
     kf_scatter = jnp.where(cam_valid, kf_idx, K)
     # ---- write back poses (backend.cpp:256-258) ----
     kf_T_cw = map_state.kf_T_cw.at[kf_scatter].set(res.cam_T, mode="drop")
+
+    # ---- refresh in-window sequential pose-graph edges ----
+    # The reference records mRelativePoseToLastKF once at KF creation
+    # (keyframe.cpp:34-50) and lets BA refinements drift away from it, so
+    # its pose graph carries a residual floor.  Here, whenever both
+    # endpoints of a sequential edge sit in the window just optimized, the
+    # edge measurement is re-derived from the refined poses — the pose
+    # graph then encodes the best available odometry, which keeps the
+    # loop-correction consistency gate sharp (core/loopclosing.py step 7).
+    prev_idx = map_state.kf_prev[kf_safe]                    # (W,)
+    prev_match = prev_idx[:, None] == kf_idx[None, :]        # (W, W)
+    prev_in = jnp.any(prev_match, axis=1) & (prev_idx >= 0) & cam_valid
+    prev_slot = jnp.argmax(prev_match, axis=1)
+    rel_new = res.cam_T @ se3.inv(res.cam_T[prev_slot])
+    kf_rel_prev = map_state.kf_rel_prev.at[
+        jnp.where(prev_in, kf_idx, K)
+    ].set(rel_new, mode="drop")
     # ---- write back landmark positions (backend.cpp:259-261) ----
     moved = lm_slot_valid & ~lm_fixed
     lm_scatter = jnp.where(moved, uniq_safe, L)
@@ -122,6 +140,7 @@ def optimize_active_map(map_state: MapState, intr: Intrinsics, cfg: SlamConfig) 
 
     return map_state._replace(
         kf_T_cw=kf_T_cw,
+        kf_rel_prev=kf_rel_prev,
         lm_pos=lm_pos,
         kf_feat_lm=kf_feat_lm,
         lm_obs_count=lm_obs_count,

@@ -96,16 +96,37 @@ def track_step(
     reproj = world2pixel(lm_pos, T_pred, intr)
     init_px = jnp.where(has_lm[:, None], reproj, tr.xy)
 
-    flow = pyramidal_lk(
-        pyr_prev,
-        pyr_cur,
-        tr.xy,
-        init_px,
+    lk_kw = dict(
         window=cfg.tracking.lk_window,
         iters=cfg.tracking.lk_iters,
         eps=cfg.tracking.lk_eps,
         forward_backward=cfg.tracking.lk_forward_backward,
     )
+    flow = pyramidal_lk(pyr_prev, pyr_cur, tr.xy, init_px, **lk_kw)
+    if cfg.tracking.lk_retry_fail_frac > 0:
+        # Rescue pass (device-side cond): when the motion prior misleads —
+        # velocity changes at corners make the reprojection seeds point at
+        # the wrong texture and LK locks elsewhere or fails the
+        # forward-backward gate — re-track the failed slots seeded at their
+        # PREVIOUS position (the reference's seed for landmark-less
+        # features, frontend.cpp:140-144).  Only fires when the failure
+        # fraction spikes, so the straight-line steady state pays nothing.
+        fail = tr.valid & ~flow.status
+        n_valid = jnp.maximum(jnp.sum(tr.valid.astype(jnp.int32)), 1)
+        do_retry = jnp.sum(fail.astype(jnp.int32)) > (
+            cfg.tracking.lk_retry_fail_frac * n_valid.astype(jnp.float32)
+        )
+
+        def _retry(f1):
+            f2 = pyramidal_lk(pyr_prev, pyr_cur, tr.xy, tr.xy, **lk_kw)
+            use2 = fail & f2.status
+            return type(f1)(
+                points=jnp.where(use2[:, None], f2.points, f1.points),
+                status=f1.status | use2,
+                error=jnp.where(use2, f2.error, f1.error),
+            )
+
+        flow = jax.lax.cond(do_retry, _retry, lambda f1: f1, flow)
     # The reference keeps only tracks whose source feature had a live map
     # point (frontend.cpp:157-166), discarding landmark-less survivors.  Here
     # every LK survivor stays alive: the flow for all slots is already
@@ -128,17 +149,51 @@ def track_step(
         chi2_threshold=cfg.tracking.chi2_threshold,
     )
 
+    # Pose trust region: with few inliers the chi2-gated LM can converge on
+    # a consistent-but-wrong subset and leap far from any physical motion —
+    # once such a pose seeds a keyframe, the freshly-triangulated landmarks
+    # lock the error in and tracking death-spirals (measured: 0.3 m/frame
+    # compounding through a corner).  When the solution is BOTH weak
+    # (inliers below the GOOD threshold) AND far outside what the velocity
+    # model can explain, hold the prediction instead: one dead-reckoned
+    # frame costs ~velocity-error; a wild pose costs the map.
+    T_sol = res.T_cw
+    tf = cfg.tracking.pose_trust_factor
+    if tf > 0:
+        dx_n = jnp.linalg.norm(se3.log(res.T_cw @ se3.inv(T_pred)))
+        vel_n = jnp.linalg.norm(se3.log(fs.T_vel))
+        wild = (
+            res.num_inliers < jnp.int32(cfg.features.num_features_tracking_good)
+        ) & (dx_n > tf * vel_n + cfg.tracking.pose_trust_min)
+        T_sol = jnp.where(wild, T_pred, res.T_cw)
+    else:
+        wild = jnp.bool_(False)
+
     # Outlier features lose their landmark link but keep their position
     # (frontend.cpp:255-270) — they become fresh-triangulation candidates on
-    # the next keyframe (or the next replenish).
-    new_lm_idx = jnp.where(res.inlier, tr.lm_idx, -1)
+    # the next keyframe (or the next replenish).  Deviation from the
+    # reference: the unlink bar is HARDER than the counting bar.  At the
+    # 5.991 chi2 threshold, measurement noise alone (rendered sensor noise +
+    # LK subpixel jitter + triangulation depth noise) pushes ~8% of healthy
+    # links over the line EVERY frame; unlinking them permanently was the
+    # single biggest track-attrition source (measured ~17%/frame total).  A
+    # borderline link stays (uncounted, Huber-downweighted in the solve) and
+    # usually returns to the inlier set next frame; only a gross failure
+    # (unlink_chi2_factor x threshold) severs it.  A dead-reckoned (wild)
+    # frame never unlinks — its "outliers" were judged against the rejected
+    # pose.
+    hard_out = res.chi2 > (
+        cfg.tracking.unlink_chi2_factor * cfg.tracking.chi2_threshold
+    )
+    keep_links = ~hard_out | wild
+    new_lm_idx = jnp.where(keep_links, tr.lm_idx, -1)
     new_tracks = TrackState(xy=flow.points, lm_idx=new_lm_idx, valid=alive)
 
     # Re-orthonormalize: T_rk accumulates one compose per frame, and a
     # rotation defect of even ~1e-4 biases reprojection by ~0.1 px (the
     # optimizer cannot remove the defect — exp(dx) @ T preserves it — so it
     # compensates with a wrong pose instead; this was a real failure mode).
-    T_rk_new = se3.orthonormalize(res.T_cw @ se3.inv(T_kf))
+    T_rk_new = se3.orthonormalize(T_sol @ se3.inv(T_kf))
     new_fs = FrontendState(
         tracks=new_tracks,
         T_rk=T_rk_new,
@@ -498,7 +553,13 @@ def frame_step(
             fs_in.tracks, m_in, pyr, pyr_right, T_cw,
             intr_left, intr_right, baseline, cfg, fs_in.ref_kf,
         )
-        return fs_in._replace(tracks=tracks2), m2, jnp.int32(-1)
+        # Tracks still unlinked after the attempt just failed the
+        # stereo/triangulation gates — keeping them would hold the pool
+        # above the trigger floor and re-fire replenish every sagging frame
+        # (measured 63 -> 24 FPS).  Drop them; the pool refills from
+        # pose-LM outlier unlinking and the next keyframe's detections.
+        tracks3 = tracks2._replace(valid=tracks2.valid & (tracks2.lm_idx >= 0))
+        return fs_in._replace(tracks=tracks3), m2, jnp.int32(-1)
 
     t = cfg.tracking
     # Motion-clock keyframe trigger: replenishment keeps tracking strong, so
@@ -513,7 +574,19 @@ def frame_step(
         if t.kf_max_interval > 0
         else jnp.bool_(False)
     )
-    make_kf = (status == TRACKING_BAD) | force_kf
+    # KF throttle: during a BAD stretch (e.g. a corner entry), a keyframe
+    # EVERY frame re-bootstraps odometry from each drifted pose — fresh
+    # landmarks lock ~the full per-frame pose noise in, compounding
+    # (measured 0.3 m/frame).  Spacing KFs lets the intermediate frames
+    # keep tracking the previous KF's landmarks, so noise averages instead
+    # of accumulating.  (The reference has no throttle — its tracking never
+    # sustains BAD long enough to need one, frontend.cpp:111-119.)
+    kf_ok = (
+        frames_since_kf >= t.kf_min_interval
+        if t.kf_min_interval > 0
+        else jnp.bool_(True)
+    )
+    make_kf = ((status == TRACKING_BAD) & kf_ok) | force_kf
 
     pool = jnp.sum(
         (fs2.tracks.valid & (fs2.tracks.lm_idx < 0)).astype(jnp.int32)

@@ -427,10 +427,14 @@ class LoopCloser:
             from stereoslam_tpu.parallel.dist_pgo import optimize_pose_graph_sharded
 
             poses_opt = optimize_pose_graph_sharded(
-                graph, self.mesh, gn_iters=self.cfg.backend.ba_iters * 2
+                graph, self.mesh,
+                gn_iters=cfg.loop.pgo_gn_iters, cg_iters=cfg.loop.pgo_cg_iters,
             )
         else:
-            poses_opt = optimize_pose_graph(graph, gn_iters=self.cfg.backend.ba_iters * 2)
+            poses_opt = optimize_pose_graph(
+                graph,
+                gn_iters=cfg.loop.pgo_gn_iters, cg_iters=cfg.loop.pgo_cg_iters,
+            )
 
         # ---- 6. re-anchor non-active landmarks to their first observer
         # (loopclosing.cpp:617-637)
@@ -447,22 +451,34 @@ class LoopCloser:
 
         # ---- 7. post-PGO consistency gate with ATOMIC ROLLBACK (guard rail
         # #3, config.py).  A healthy correction leaves the optimized graph
-        # near-consistent: the loop error redistributes into tiny per-edge
-        # sequential residuals.  A marginal/garbage T_corrected (or a PGO
-        # that failed to converge) leaves large residuals — in that case the
+        # no less consistent than it already was: the loop error
+        # redistributes into small per-edge sequential residuals.  The gate
+        # is RELATIVE to the pre-correction graph's own residual — sequential
+        # measurements are recorded at insert time and the poses keep being
+        # refined by BA afterwards (same staleness as the reference's
+        # mRelativePoseToLastKF, keyframe.cpp:34-50), so a long-run graph
+        # has a nonzero residual floor that an absolute threshold would
+        # misread as divergence.  A marginal/garbage T_corrected (or a PGO
+        # that failed to converge) lands far above the floor — then the
         # whole correction (fusion + merge + PGO) is discarded and the loop
-        # edge is withdrawn from the graph, so one bad verification can
-        # never poison the map or future optimizations.
-        seq_i = poses_opt
-        seq_j = poses_opt[jnp.maximum(m1.kf_prev, 0)]
-        r_seq = jax.vmap(lambda mi, Ti, Tj: se3.log(mi @ Ti @ se3.inv(Tj)))(
-            se3.inv(m1.kf_rel_prev), seq_i, seq_j
+        # edge withdrawn, so one bad verification can never poison the map.
+        meas_inv_seq = se3.inv(m1.kf_rel_prev)
+
+        def _seq_res(poses):
+            r = jax.vmap(lambda mi, Ti, Tj: se3.log(mi @ Ti @ se3.inv(Tj)))(
+                meas_inv_seq, poses, poses[jnp.maximum(m1.kf_prev, 0)]
+            )
+            r2 = jnp.sum(r * r, axis=-1)
+            n_seq = jnp.maximum(jnp.sum(seq_valid.astype(jnp.int32)), 1)
+            return jnp.sum(jnp.where(seq_valid, r2, 0.0)) / n_seq
+
+        mean_res = _seq_res(poses_opt)
+        res_before = _seq_res(map_state.kf_T_cw)
+        bound = jnp.maximum(
+            1.5 * res_before, cfg.loop.max_post_pgo_edge_residual
         )
-        r2 = jnp.sum(r_seq * r_seq, axis=-1)
-        n_seq = jnp.maximum(jnp.sum(seq_valid.astype(jnp.int32)), 1)
-        mean_res = jnp.sum(jnp.where(seq_valid, r2, 0.0)) / n_seq
         finite = jnp.all(jnp.isfinite(poses_opt)) & jnp.all(jnp.isfinite(lm_pos2))
-        applied = finite & (mean_res <= cfg.loop.max_post_pgo_edge_residual)
+        applied = finite & (mean_res <= bound)
 
         m_roll = map_state._replace(
             kf_loop=map_state.kf_loop.at[kf_id].set(-1)
@@ -470,7 +486,7 @@ class LoopCloser:
         m_out = _select_tree(applied, m2, m_roll)
         remap_out = jnp.where(applied, remap, jnp.arange(L, dtype=jnp.int32))
         loop_out = loop._replace(last_closed_kf=kf_id)
-        return m_out, loop_out, remap_out, _pack_f32(applied, mean_res)
+        return m_out, loop_out, remap_out, _pack_f32(applied, mean_res, bound)
 
     # ------------------------------------------------------------------
     def start_detect(self, loop: LoopState, kf_id):
@@ -537,7 +553,7 @@ class LoopCloser:
                 map_state, loop, jnp.int32(kf_id), det.loop_kf,
                 verify.T_corrected, verify.match_loop_feat,
             )
-            cp = np.asarray(cpk)  # ONE fetch: [applied, post_pgo_mean_residual]
+            cp = np.asarray(cpk)  # ONE fetch: [applied, mean_residual, bound]
             if not bool(cp[0]):
                 # Post-PGO consistency gate fired: the correction was rolled
                 # back atomically on device (loop edge withdrawn, map
@@ -545,9 +561,8 @@ class LoopCloser:
                 # refire every keyframe.
                 log.warning(
                     "loop correction ROLLED BACK (KF %d -> %d): post-PGO "
-                    "mean edge residual %.4f exceeds %.4f",
-                    kf_id, loop_kf, float(cp[1]),
-                    self.cfg.loop.max_post_pgo_edge_residual,
+                    "mean edge residual %.4f exceeds bound %.4f",
+                    kf_id, loop_kf, float(cp[1]), float(cp[2]),
                 )
                 self._last_remap = None
                 return map_state, loop, False, -1

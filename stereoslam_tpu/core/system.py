@@ -176,13 +176,21 @@ class StereoSlam:
             # its byte cost once frame programs are in flight, so one
             # transfer per frame, not two.
             left_f32 = self._pre_left(lr_u8[0])
-            return frontend_mod.frame_step(
+            fs2, m2, pyr, counts = frontend_mod.frame_step(
                 left_f32,
                 lambda: self._pre_right(lr_u8[1]),
                 pyr_prev, fs, m,
                 self.intr_left, self.intr_right, self.baseline, ts, cfg,
                 ba_fn=_inline_ba_fn,
             )
+            # ONE packed outcome buffer per frame: counts (5 ints, exact in
+            # f32) + T_rk (16 f32).  Each device->host copy carries fixed
+            # per-call cost on the tunnel (~2.5 ms under load), so one copy,
+            # not two.
+            packed = jnp.concatenate(
+                [counts.astype(jnp.float32), fs2.T_rk.reshape(-1)]
+            )
+            return fs2, m2, pyr, packed
 
         self._jit_frame = jax.jit(_frame)
         self._jit_stereo_init = jax.jit(
@@ -269,16 +277,15 @@ class StereoSlam:
 
         self._poll_async()
         with self.profiler.stage("track"):
-            fs, m, pyr_left, counts = self._jit_frame(
+            fs, m, pyr_left, packed = self._jit_frame(
                 self.fs, self.map, self._pyr_prev, lr_u8, ts
             )
-        if hasattr(counts, "copy_to_host_async"):
-            counts.copy_to_host_async()
-            fs.T_rk.copy_to_host_async()
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
         self.fs, self.map, self._pyr_prev = fs, m, pyr_left
         self._enqueue_t[self._frame_count] = time.perf_counter()
         self._inflight.append(
-            (self._frame_count, counts, lr_u8, pyr_left, fs.T_rk)
+            (self._frame_count, packed, lr_u8, pyr_left)
         )
         self._frame_count += 1
         while len(self._inflight) > self.readback_lag:
@@ -290,21 +297,20 @@ class StereoSlam:
         return self._status != LOST
 
     # ------------------------------------------------------------------
-    def _retire(self, frame_idx: int, counts, lr_u8, pyr_left,
-                T_rk=None) -> None:
+    def _retire(self, frame_idx: int, packed, lr_u8, pyr_left) -> None:
         """Process the (lagged) outcome of an already-enqueued frame: record
         metrics, update host-visible status, and launch the per-keyframe work
         (BA + loop closing) if that frame created one.
 
-        Zero device syncs on the steady-state tracked path: ``counts``
-        (incl. status/kf_id/ref_kf) and ``T_rk`` were both
+        Zero device syncs on the steady-state tracked path: the single
+        packed outcome buffer (counts + T_rk) was
         ``copy_to_host_async()``-ed at enqueue time, so by retirement —
-        ``readback_lag`` frames later — the host copies already exist and
+        ``readback_lag`` frames later — the host copy already exists and
         ``np.asarray`` is a local read, not a device round trip.  (Round 2
         fetched ``ref_kf`` cold here; that single synchronous fetch cost
         20 vs 66 FPS on the tunneled chip.)"""
-        c = np.asarray(counts)
-        n_inliers, n_tracked, status, kf_id, ref_kf = (int(x) for x in c)
+        c = np.asarray(packed)
+        n_inliers, n_tracked, status, kf_id, ref_kf = (int(x) for x in c[:5])
         t_enq = self._enqueue_t.pop(frame_idx, None)
         if t_enq is not None:
             self.frame_latency_ms.append((time.perf_counter() - t_enq) * 1e3)
@@ -316,13 +322,12 @@ class StereoSlam:
                 "tracking LOST at frame %d (%d inliers)", frame_idx, n_inliers
             )
             return
-        if T_rk is not None:
-            # KF-relative pose log (reference frame-trajectory semantics:
-            # every frame anchored to its reference KF; absolutes resolved
-            # against the final refined KF table by frame_trajectory()).
-            # Skipped for LOST frames — a lost frame's pose is garbage and
-            # would poison the frame-trajectory ATE.
-            self._pose_log[frame_idx] = (np.asarray(T_rk), ref_kf)
+        # KF-relative pose log (reference frame-trajectory semantics: every
+        # frame anchored to its reference KF; absolutes resolved against the
+        # final refined KF table by frame_trajectory()).  Skipped for LOST
+        # frames — a lost frame's pose is garbage and would poison the
+        # frame-trajectory ATE.
+        self._pose_log[frame_idx] = (c[5:21].reshape(4, 4).copy(), ref_kf)
         if kf_id >= 0:
             if self.profiler._current is not None:
                 self.profiler._current.keyframe_id = kf_id
@@ -443,8 +448,10 @@ class StereoSlam:
         were already complete."""
         self._drain()
         self._flush_pending_ba()
-        kf_T = np.asarray(self.map.kf_T_cw)
         ids = np.array(sorted(self._pose_log), dtype=np.int64)
+        if ids.size == 0:
+            return ids, np.zeros((0, 4, 4), np.float64)
+        kf_T = np.asarray(self.map.kf_T_cw)
         T = np.stack([
             self._pose_log[f][0] @ kf_T[self._pose_log[f][1]] for f in ids
         ])

@@ -67,8 +67,10 @@ def run_world_eval(
 
     n = n_frames or int(W.frames_per_lap(step, WORLD_LENGTH, WORLD_WIDTH) * laps)
     if seq is None:
+        # Focal length scales with the image width so any (h, w) sees the
+        # same field of view as the canonical 240x376/fx=320 camera.
         seq = W.generate_world_sequence(
-            n_frames=n, h=h, w=w, seed=seed, step=step,
+            n_frames=n, h=h, w=w, fx=320.0 * w / WORLD_W, seed=seed, step=step,
             length=WORLD_LENGTH, width=WORLD_WIDTH,
         )
 

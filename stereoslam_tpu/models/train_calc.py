@@ -260,6 +260,8 @@ def train_encoder_pairs(
     weight_decay: float = 1e-4,
     log_every: int = 100,
     verbose: bool = False,
+    probe_fn=None,
+    probe_every: int = 500,
 ) -> Tuple[Dict, List[Tuple[float, float, float, float]]]:
     """Train the CALC encoder on real-parallax (anchor, revisit) pairs.
 
@@ -308,14 +310,26 @@ def train_encoder_pairs(
     hog_t = jax.vmap(calc.hog_features)
 
     def loss_fn(params, a, b, keys):
-        kw, ka, kb = keys[:, 0], keys[:, 1], keys[:, 2]
+        kw, ka, kb, kwa, kwb = (keys[:, i] for i in range(5))
         warped = jax.vmap(_random_warp)(kw, a)
         warped = jax.vmap(_photometric)(kw, warped)
         zw = enc.apply(params["enc"], warped)
         recon = jnp.mean((dec.apply(params["dec"], zw) - hog_t(a)) ** 2)
 
-        za = enc.apply(params["enc"], jax.vmap(_photometric)(ka, a))
-        zb = enc.apply(params["enc"], jax.vmap(_photometric)(kb, b))
+        # Independent random warps on BOTH contrastive inputs: every epoch
+        # sees a fresh effective pair, so the pair-level objective cannot be
+        # satisfied by memorizing the finite (A_i, B_i) set — the round-3
+        # failure mode (training hinge -> 0 while fresh pairs from the SAME
+        # distribution scored 0.78).  The warp approximates extra viewpoint
+        # change on top of the pairs' real parallax.
+        za = enc.apply(
+            params["enc"],
+            jax.vmap(_photometric)(ka, jax.vmap(_random_warp)(kwa, a)),
+        )
+        zb = enc.apply(
+            params["enc"],
+            jax.vmap(_photometric)(kb, jax.vmap(_random_warp)(kwb, b)),
+        )
         S = za @ zb.T                              # (B, B) unit-norm sims
         labels = jnp.arange(a.shape[0])
         logits = S / temperature
@@ -338,10 +352,11 @@ def train_encoder_pairs(
 
     rng = np.random.default_rng(seed)
     history: List[Tuple[float, float, float, float]] = []
+    best_score, best_params = -np.inf, None
     for i in range(steps):
         idx = rng.choice(n, batch, replace=False)
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch * 3).reshape(batch, 3, 2)
+        keys = jax.random.split(sub, batch * 5).reshape(batch, 5, 2)
         params, opt_state, loss, aux = step(
             params, opt_state, jnp.asarray(corpA[idx]), jnp.asarray(corpB[idx]), keys
         )
@@ -351,6 +366,18 @@ def train_encoder_pairs(
             if verbose:
                 print(f"step {i}: total {rec[0]:.4f} recon {rec[1]:.4f} "
                       f"contrast {rec[2]:.4f} hinge {rec[3]:.4f}", flush=True)
+        if probe_fn is not None and (
+            (i + 1) % probe_every == 0 or i == steps - 1
+        ):
+            score = float(probe_fn(params["enc"]))
+            if verbose:
+                print(f"step {i}: probe {score:.4f}"
+                      f"{' (best)' if score > best_score else ''}", flush=True)
+            if score > best_score:
+                best_score = score
+                best_params = jax.tree.map(np.asarray, params["enc"])
+    if best_params is not None:
+        return jax.tree.map(jnp.asarray, best_params), history
     return params["enc"], history
 
 

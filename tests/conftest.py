@@ -27,9 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # The container's sitecustomize force-registers the axon TPU plugin and
 # prepends it to jax_platforms, overriding JAX_PLATFORMS=cpu from the env —
 # so tests must pin the platform after import, before any backend init.
+# STEREOSLAM_TEST_TPU=1 skips the pin so platform-parity checks (e.g. the
+# descriptor operating point, VERDICT r2 #2) can run on the real chip.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("STEREOSLAM_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -94,7 +94,7 @@ def test_garbage_correction_rolls_back(closer_and_map):
         m_in, loop, jnp.int32(kf_id), jnp.int32(loop_kf),
         jnp.asarray(T_bad), jnp.full((n_feat,), -1, jnp.int32),
     )
-    applied, mean_res = np.asarray(packed)
+    applied, mean_res, bound = np.asarray(packed)
     assert applied == 0.0, f"garbage correction applied (res {mean_res})"
     # Map poses untouched, loop edge withdrawn.
     np.testing.assert_allclose(np.asarray(m_out.kf_T_cw[:48]), T_cw, atol=1e-6)
@@ -114,7 +114,7 @@ def test_plausible_correction_applies(closer_and_map):
         m_in, loop, jnp.int32(kf_id), jnp.int32(loop_kf),
         jnp.asarray(T_good), jnp.full((n_feat,), -1, jnp.int32),
     )
-    applied, mean_res = np.asarray(packed)
+    applied, mean_res, bound = np.asarray(packed)
     assert applied == 1.0, f"plausible correction rolled back (res {mean_res})"
     assert int(m_out.kf_loop[kf_id]) == loop_kf
     # The current KF took the corrected pose.
