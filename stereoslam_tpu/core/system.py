@@ -120,7 +120,10 @@ class StereoSlam:
             if env is not None:
                 self.readback_lag = int(env)
             else:
-                self.readback_lag = 0 if jax.default_backend() == "cpu" else 6
+                # Lag 4 measured strictly better than 6 on the tunneled v5e
+                # with the packed single-copy readback (72 vs 69 FPS AND
+                # p50 latency 63 vs 86 ms over repeated runs).
+                self.readback_lag = 0 if jax.default_backend() == "cpu" else 4
         self._inflight: List[tuple] = []
 
         lk_levels = cfg.tracking.lk_levels
