@@ -209,6 +209,47 @@ def main():
     except Exception as e:  # profiling must never zero the bench record
         sys.stderr.write(f"stage profile failed: {e}\n")
 
+    # ---------------- Phase M: batched multi-sequence throughput -------------
+    # The "high-rate mode" (BASELINE.md): B independent sequences tracked by
+    # ONE fused batched program with on-device per-sequence KF decisions
+    # (parallel/multiseq.py).  Aggregate frames/s is the scaling unit that
+    # multiplies across data-parallel mesh slots on a real slice.
+    multiseq_fps = None
+    try:
+        from stereoslam_tpu.parallel.multiseq import MultiSeqVO
+
+        B = int(os.environ.get("BENCH_MULTISEQ_BATCH", "8"))
+        mseqs = [
+            generate_sequence(n_frames=40, h=240, w=376, fx=320.0,
+                              baseline=0.54, n_points=2000,
+                              trajectory="forward", speed=0.6, seed=20 + b)
+            for b in range(B)
+        ]
+        mcfg = SlamConfig(
+            camera=CameraConfig(
+                fx=320.0, fy=320.0, cx=188.0, cy=120.0,
+                fx_right=320.0, fy_right=320.0, cx_right=188.0, cy_right=120.0,
+                bf=320.0 * 0.54,
+            ),
+            image_height=240, image_width=376,
+        )
+        vo = MultiSeqVO(mcfg, batch=B)
+        stack = lambda t, field: np.stack([getattr(s, field)[t] for s in mseqs])
+        vo.initialize(stack(0, "left"), stack(0, "right"), np.zeros(B))
+        for t in range(1, 8):  # compile both branches
+            vo.process_frames(stack(t, "left"), stack(t, "right"), np.full(B, t * 0.1))
+        vo.drain()
+        t0 = time.time()
+        for t in range(8, 40):
+            vo.process_frames(stack(t, "left"), stack(t, "right"), np.full(B, t * 0.1))
+        vo.drain()
+        import jax as _jax
+
+        _jax.block_until_ready(vo.fs.T_rk)
+        multiseq_fps = B * 32 / max(time.time() - t0, 1e-9)
+    except Exception as e:
+        sys.stderr.write(f"multiseq phase failed: {e}\n")
+
     # ---------------- Phase B: accuracy on the world circuit ----------------
     world = None
     try:
@@ -231,6 +272,8 @@ def main():
         "latency_def": "enqueue->outcome-retire per frame id",
         "stages_ms": stages,
     }
+    if multiseq_fps is not None:
+        rec["multiseq_agg_fps_240x376_b8"] = round(multiseq_fps, 2)
     if world is not None:
         rec["world_ate_m"] = world["ate_m"]
         rec["world_kf_rate"] = world["kf_rate"]
