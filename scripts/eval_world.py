@@ -51,7 +51,12 @@ def main():
     # identity: a cache produced at different h/w/seed/step would silently
     # evaluate the wrong imagery against the requested ground truth.
     t0 = time.time()
-    render_meta = np.array([args.h, args.w, args.seed, args.step], np.float64)
+    # fx scales with --w so any width sees the canonical FOV (same rule as
+    # run_world_eval's internal render path); fx is part of the cache
+    # identity so a cache from another width cannot be silently reused
+    # (ADVICE r3 #2).
+    fx = 320.0 * args.w / E.WORLD_W
+    render_meta = np.array([args.h, args.w, args.seed, args.step, fx], np.float64)
     seq = None
     if args.cache and os.path.exists(args.cache):
         z = np.load(args.cache)
@@ -72,8 +77,8 @@ def main():
                   file=sys.stderr)
     if seq is None:
         seq = W.generate_world_sequence(
-            n_frames=n, h=args.h, w=args.w, seed=args.seed, step=args.step,
-            length=E.WORLD_LENGTH, width=E.WORLD_WIDTH,
+            n_frames=n, h=args.h, w=args.w, fx=fx, seed=args.seed,
+            step=args.step, length=E.WORLD_LENGTH, width=E.WORLD_WIDTH,
         )
         print(f"# rendered {n} stereo frames in {time.time()-t0:.1f}s",
               file=sys.stderr)

@@ -77,10 +77,16 @@ class LoopCloser:
     """Host-side driver owning the jitted loop-closing stages."""
 
     def __init__(self, cfg: SlamConfig, intr: Intrinsics, descriptor_params=None,
-                 mesh=None, descriptor_model=None):
+                 mesh=None, descriptor_model=None, preprocess=None):
         self.cfg = cfg
         self.intr = intr
         self.mesh = mesh  # optional jax Mesh: shard DB search + pose graph
+        # Optional image preprocessing fused into the jitted descriptor
+        # program (raw staged uint8 stereo pair -> f32 left image).  Saves
+        # one host->device program dispatch per keyframe vs preprocessing in
+        # a separate jitted call (VERDICT r3 #1).  Identity by default so
+        # direct callers (tests) keep passing a ready f32 image.
+        self._preprocess = preprocess if preprocess is not None else (lambda img: img)
         if descriptor_model is not None:
             # Caller-supplied model (tests pin the HOG surrogate this way).
             self.model = descriptor_model
@@ -120,6 +126,7 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _process_impl(self, map_state: MapState, loop: LoopState, img, kf_id):
+        img = self._preprocess(img)
         deep = self.model(img)
         desc, xy, cls, valid = pyramid_orb(
             img,

@@ -69,8 +69,8 @@ class StereoSlam:
         """``mesh``: optional jax.sharding.Mesh — shards the loop-closure
         descriptor search and global pose graph over its "model" axis.
         ``readback_lag``: frames of pipelined frame-outcome readback
-        (default: 0 on CPU, 6 on accelerators; env STEREOSLAM_PIPELINE_LAG
-        overrides).
+        (default: 0 on CPU, 4 on accelerators — measured better than 6 on
+        the tunneled v5e; env STEREOSLAM_PIPELINE_LAG overrides).
         ``inline_ba``: fuse windowed BA into the keyframe branch of the
         frame program (default: True unless a mesh is given).  In-stream BA
         makes the whole run a deterministic function of the input frames —
@@ -125,6 +125,13 @@ class StereoSlam:
                 # p50 latency 63 vs 86 ms over repeated runs).
                 self.readback_lag = 0 if jax.default_backend() == "cpu" else 4
         self._inflight: List[tuple] = []
+        # Capacity-guard state (VERDICT r3 #4): warn once on KF-table
+        # saturation; compact the landmark table at 90% pressure.
+        self._warned_kf_full = False
+        self._lm_compact_threshold = int(0.9 * cfg.map.max_landmarks)
+        from stereoslam_tpu.core.maintenance import compact_landmarks
+
+        self._jit_compact = jax.jit(compact_landmarks)
 
         lk_levels = cfg.tracking.lk_levels
         # Optional image undistortion (reference camera.cpp:36-48), fused
@@ -186,7 +193,7 @@ class StereoSlam:
                 self.intr_left, self.intr_right, self.baseline, ts, cfg,
                 ba_fn=_inline_ba_fn,
             )
-            # ONE packed outcome buffer per frame: counts (5 ints, exact in
+            # ONE packed outcome buffer per frame: counts (6 ints, exact in
             # f32) + T_rk (16 f32).  Each device->host copy carries fixed
             # per-call cost on the tunnel (~2.5 ms under load), so one copy,
             # not two.
@@ -210,8 +217,14 @@ class StereoSlam:
                 partial(backend_mod.optimize_active_map, intr=self.intr_left, cfg=cfg)
             )
         if enable_loop:
+            # The loop closer preprocesses the raw staged uint8 pair itself
+            # (left extract + f32 widen + optional undistortion) INSIDE its
+            # jitted descriptor program: the per-KF `_jit_img_f32` dispatch
+            # this replaces was one extra host->device program launch on
+            # every keyframe retire (VERDICT r3 next-round #1).
             self._loop_closer = loop_mod.LoopCloser(
-                cfg, self.intr_left, mesh=mesh, descriptor_model=descriptor_model
+                cfg, self.intr_left, mesh=mesh, descriptor_model=descriptor_model,
+                preprocess=lambda lr_u8: self._pre_left(lr_u8[0]),
             )
 
     # ------------------------------------------------------------------
@@ -266,7 +279,7 @@ class StereoSlam:
                 # The init keyframe's BA runs host-side even in inline mode
                 # (the init program is separate from the frame program).
                 self._after_keyframe(
-                    left_f32, pyr_left, int(kf_id), force_ba=self.inline_ba
+                    lr_u8, pyr_left, int(kf_id), force_ba=self.inline_ba
                 )
                 log.info("stereo init: %d landmarks, KF %d", int(n_lm), int(kf_id))
             else:
@@ -300,7 +313,8 @@ class StereoSlam:
         return self._status != LOST
 
     # ------------------------------------------------------------------
-    def _retire(self, frame_idx: int, packed, lr_u8, pyr_left) -> None:
+    def _retire(self, frame_idx: int, packed, lr_u8, pyr_left,
+                record_latency: bool = True) -> None:
         """Process the (lagged) outcome of an already-enqueued frame: record
         metrics, update host-visible status, and launch the per-keyframe work
         (BA + loop closing) if that frame created one.
@@ -313,9 +327,14 @@ class StereoSlam:
         fetched ``ref_kf`` cold here; that single synchronous fetch cost
         20 vs 66 FPS on the tunneled chip.)"""
         c = np.asarray(packed)
-        n_inliers, n_tracked, status, kf_id, ref_kf = (int(x) for x in c[:5])
+        n_inliers, n_tracked, status, kf_id, ref_kf, n_lm = (
+            int(x) for x in c[:6]
+        )
         t_enq = self._enqueue_t.pop(frame_idx, None)
-        if t_enq is not None:
+        # Frames retired by _drain() (end of stream / stalled caller) would
+        # fold host idle time between enqueues into the latency sample, so
+        # they are excluded from frame_latency_ms (ADVICE r3 #5).
+        if t_enq is not None and record_latency:
             self.frame_latency_ms.append((time.perf_counter() - t_enq) * 1e3)
         self.metrics["num_inliers"].append(n_inliers)
         self.metrics["num_tracked"].append(n_tracked)
@@ -330,26 +349,55 @@ class StereoSlam:
         # final refined KF table by frame_trajectory()).  Skipped for LOST
         # frames — a lost frame's pose is garbage and would poison the
         # frame-trajectory ATE.
-        self._pose_log[frame_idx] = (c[5:21].reshape(4, 4).copy(), ref_kf)
+        self._pose_log[frame_idx] = (c[6:22].reshape(4, 4).copy(), ref_kf)
+        # Capacity guards (VERDICT r3 #4).  kf_id == -2: the keyframe table
+        # saturated — the insert was refused on device (no corruption) and
+        # the condition is surfaced loudly here.  Landmark pressure beyond
+        # the threshold triggers on-device compaction of dead rows
+        # (core/maintenance.py) — the free-list discipline the fixed arrays
+        # need in place of the reference's per-object allocator.
+        if kf_id == -2 and not self._warned_kf_full:
+            self._warned_kf_full = True
+            log.error(
+                "keyframe table FULL (%d): keyframe creation saturated at "
+                "frame %d — raise map.max_keyframes for longer runs",
+                self.cfg.map.max_keyframes, frame_idx,
+            )
+        # Compaction is checked on keyframe frames only: that is when the
+        # allocator moves, and it bounds the worst case to one compaction
+        # per KF even when the table is permanently near-full.
+        if n_lm >= self._lm_compact_threshold and kf_id >= 0:
+            self._flush_pending_ba()
+            self.map, tracks, freed = self._jit_compact(self.map, self.fs.tracks)
+            self.fs = self.fs._replace(tracks=tracks)
+            n_freed = int(freed)
+            log.warning(
+                "landmark table at %d/%d: compacted, freed %d dead slots",
+                n_lm, self.cfg.map.max_landmarks, n_freed,
+            )
+            if n_freed < self.cfg.map.max_landmarks // 20:
+                log.error(
+                    "landmark table nearly exhausted even after compaction "
+                    "(%d free): raise map.max_landmarks", n_freed,
+                )
         if kf_id >= 0:
             if self.profiler._current is not None:
                 self.profiler._current.keyframe_id = kf_id
             self._flush_pending_ba()
-            left_f32 = self._jit_img_f32(lr_u8)
-            self._after_keyframe(left_f32, pyr_left, kf_id)
+            self._after_keyframe(lr_u8, pyr_left, kf_id)
 
     def _drain(self) -> None:
         """Retire every in-flight frame and resolve the pending loop
         decision (used before reading map state)."""
         while self._inflight:
-            self._retire(*self._inflight.pop(0))
+            self._retire(*self._inflight.pop(0), record_latency=False)
             if self._status == LOST:
                 self._inflight.clear()
         if self.enable_loop:
             self._flush_loop_decision()
 
     # ------------------------------------------------------------------
-    def _after_keyframe(self, left, pyr_left, kf_id: int, force_ba: bool = False) -> None:
+    def _after_keyframe(self, lr_u8, pyr_left, kf_id: int, force_ba: bool = False) -> None:
         """Backend BA + loop closing for a freshly inserted keyframe —
         the work the reference's backend/loop threads do (backend.cpp:74-103,
         loopclosing.cpp:52-80).
@@ -362,7 +410,7 @@ class StereoSlam:
         """
         if self.enable_loop:
             self.loop = self._loop_closer.process_keyframe(
-                self.map, self.loop, left, pyr_left, int(kf_id)
+                self.map, self.loop, lr_u8, pyr_left, int(kf_id)
             )
         run_ba_here = self.enable_backend and (not self.inline_ba or force_ba)
         if run_ba_here:

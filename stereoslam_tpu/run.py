@@ -88,6 +88,24 @@ def main(argv=None) -> int:
     slam.save_loop_edges(edges_path)
     log.info("saved %s (+ %d loop edges in %s)", traj_path, len(slam.loop_edges), edges_path)
 
+    # Final 3D map scene + PLY export (the reference Pangolin viewer's 3D
+    # content, viewer.cpp:249-267, rendered offline).
+    try:
+        import numpy as np
+
+        from stereoslam_tpu.utils.viewer import export_ply, plot_map_3d
+
+        _, _, T_cw = slam.keyframe_trajectory()
+        lm_pos = np.asarray(slam.map.lm_pos)
+        lm_ok = np.asarray(slam.map.lm_valid) & ~np.asarray(slam.map.lm_outlier)
+        plot_map_3d(T_cw, lm_pos, lm_ok, slam.loop_edges,
+                    out_path=os.path.join(args.output, "map3d.png"))
+        export_ply(T_cw, lm_pos, lm_ok, slam.loop_edges,
+                   out_path=os.path.join(args.output, "map.ply"))
+        log.info("saved 3D map scene (map3d.png, map.ply)")
+    except Exception as e:  # visualization must never fail the run
+        log.warning("3D map export failed: %s", e)
+
     if args.gt:
         import numpy as np
 

@@ -44,6 +44,7 @@ class DeviceFeed:
                  depth: int = 3):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
         self._err = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(iter(frames),), daemon=True
         )
@@ -52,18 +53,98 @@ class DeviceFeed:
     def _run(self, it) -> None:
         try:
             for left, right, ts in it:
+                if self._stop.is_set():
+                    return
                 lr = np.stack([np.asarray(left), np.asarray(right)]).astype(np.uint8)
-                self._q.put((jax.device_put(lr), float(ts)))
+                item = (jax.device_put(lr), float(ts))
+                # Bounded put that honors close(): a consumer that stops
+                # iterating early (tracking LOST breaks the loop) must not
+                # leave this thread parked forever on a full queue.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            self._put_sentinel()
+
+    def _put_sentinel(self) -> None:
+        # The sentinel MUST reach the consumer (a dropped sentinel leaves
+        # the consumer blocked on get() forever once the queue drains), so
+        # it uses the same stop-aware bounded put as regular items: space
+        # appears as the consumer drains; close() lets us give up.
+        while not self._stop.is_set():
+            try:
+                self._q.put(_SENTINEL, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    def close(self) -> None:
+        """Stop the producer thread and release staged buffers.  Idempotent;
+        called automatically when iteration finishes OR is abandoned early."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=2.0)
 
     def __iter__(self) -> Iterator[Tuple[jax.Array, float]]:
-        while True:
-            item = self._q.get()
-            if item is _SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is _SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            # Runs on normal exhaustion AND when the consumer abandons the
+            # generator (break / exception): the generator's close() triggers
+            # this finally, which shuts the producer down (ADVICE r3 #1).
+            self.close()
+
+
+class BatchFeed(DeviceFeed):
+    """Staging feed for the batched multi-sequence pipeline
+    (:class:`~stereoslam_tpu.parallel.multiseq.MultiSeqVO`): iterates
+    ``(stacked_device_batch, ts_vector)`` where the batch is ONE
+    (B, 2, H, W) uint8 buffer per frame step.
+
+    Args:
+      frames: iterable of ``(left_B, right_B, ts_B)`` host batches —
+        left/right are (B, H, W) arrays, ts a length-B vector.
+      sharding: optional ``NamedSharding`` to place the staged batch on a
+        mesh data axis.
+    """
+
+    def __init__(self, frames, depth: int = 3, sharding=None):
+        self._sharding = sharding
+        super().__init__(frames, depth=depth)
+
+    def _run(self, it) -> None:
+        try:
+            for left, right, ts in it:
+                if self._stop.is_set():
+                    return
+                lr = np.stack(
+                    [np.asarray(left), np.asarray(right)], axis=1
+                ).astype(np.uint8)  # (B, 2, H, W)
+                dev = (jax.device_put(lr, self._sharding)
+                       if self._sharding is not None else jax.device_put(lr))
+                item = (dev, np.asarray(ts, np.float32))
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            self._err = e
+        finally:
+            self._put_sentinel()
