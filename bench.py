@@ -128,11 +128,16 @@ def main():
                 fx=seq.fx, fy=seq.fy, cx=seq.cx, cy=seq.cy,
                 fx_right=seq.fx, fy_right=seq.fy, cx_right=seq.cx, cy_right=seq.cy,
                 bf=seq.fx * seq.baseline,
-                # Undistortion-ON variant: the fused remap runs with zero
-                # coefficients (an identity warp, but the full gather cost) so
-                # the 50-FPS with-undistortion reference figure compares
-                # apples-to-apples (VERDICT r3 next-round #2).
+                # Undistortion-ON variant with REALISTIC radial distortion
+                # (KITTI-raw-magnitude k1/k2 — a ~25 px edge displacement,
+                # so the banded remap pays its full band width), making the
+                # 50-FPS with-undistortion reference figure an
+                # apples-to-apples comparison (VERDICT r3 next-round #2).
                 need_undistortion=undistort,
+                k1=-0.28 if undistort else 0.0,
+                k2=0.07 if undistort else 0.0,
+                k1_right=-0.28 if undistort else 0.0,
+                k2_right=0.07 if undistort else 0.0,
             ),
             features=FeatureConfig(),
             map=MapConfig(),
@@ -173,6 +178,49 @@ def main():
         dt = time.perf_counter() - t0
         return slam, (n / dt if dt > 0 else 0.0)
 
+    def run_chunked(enable_backend, enable_loop, chunk=8):
+        """Device-resident + chunked dispatch: C frames per device program
+        (StereoSlam.process_chunk).  The production fast path: host dispatch
+        cost is paid once per C frames, so throughput is device-bound."""
+        slam = StereoSlam(cfg, enable_backend=enable_backend, enable_loop=enable_loop)
+        staged = [
+            jax.device_put(
+                np.stack([seq.left[t], seq.right[t]]).astype(np.uint8)
+            )
+            for t in range(warmup)
+        ]
+        chunks = []
+        for base in range(warmup, n_frames, chunk):
+            hi = min(base + chunk, n_frames)
+            chunks.append((
+                jax.device_put(np.stack([
+                    np.stack([seq.left[t], seq.right[t]]) for t in range(base, hi)
+                ]).astype(np.uint8)),
+                seq.timestamps[base:hi],
+            ))
+        jax.block_until_ready(chunks[-1][0])
+        for t in range(warmup):
+            if not slam.process_staged(staged[t], seq.timestamps[t]):
+                break
+        # Compile the chunk program outside the clock (equal-size chunks
+        # share one compilation).
+        slam.process_chunk(*chunks[0])
+        slam._drain()
+        jax.block_until_ready(slam.fs.T_rk)
+        n = len(chunks[0][1])
+        t0 = time.perf_counter()
+        for lr, ts in chunks[1:]:
+            if not slam.process_chunk(lr, ts):
+                break
+            n += len(ts)
+        slam._drain()
+        jax.block_until_ready(slam.fs.T_rk)
+        dt = time.perf_counter() - t0
+        # The first (compile) chunk is excluded from the clock but counted
+        # nowhere: fps covers chunks[1:] only.
+        n -= len(chunks[0][1])
+        return slam, (n / dt if dt > 0 else 0.0)
+
     def run_wire(enable_backend, enable_loop):
         """Wire-fed throughput: frames cross host->device during the run."""
         slam = StereoSlam(cfg, enable_backend=enable_backend, enable_loop=enable_loop)
@@ -202,14 +250,19 @@ def main():
     lat = np.zeros(0)
     ba_iters_per_sec = 0.0
     slam = None
+    fps_frame = 0.0
     if "a" in phases:
-        _note("phase A: device-resident full pipeline")
-        slam, fps = run_resident(True, True)
-        lat = np.asarray(slam.frame_latency_ms[warmup:] or slam.frame_latency_ms)
-        _note(f"  resident fps={fps:.1f}; wire-fed next")
+        _note("phase A: device-resident chunked full pipeline")
+        slam, fps = run_chunked(True, True)
+        _note(f"  chunked fps={fps:.1f}; per-frame resident next")
+        slam_f, fps_frame = run_resident(True, True)
+        lat = np.asarray(
+            slam_f.frame_latency_ms[warmup:] or slam_f.frame_latency_ms
+        )
+        _note(f"  per-frame resident fps={fps_frame:.1f}; wire-fed next")
         _, fps_wire = run_wire(True, True)
         _note(f"  wire fps={fps_wire:.1f}; tracking-only next")
-        _, tracking_fps = run_resident(False, False)
+        _, tracking_fps = run_chunked(False, False)
         _note(f"  tracking fps={tracking_fps:.1f}; undistort-ON next")
         _, fps_undistort = run_resident(
             True, True, undistort=True,
@@ -352,6 +405,7 @@ def main():
         "vs_baseline": round(fps / 100.0, 3),
         "baseline_def": "reference ~100 FPS on KITTI, undistortion skipped "
                         "(README.md:98); undistortion-ON compares vs 50",
+        "fps_resident_per_frame_dispatch": round(fps_frame, 2),
         "fps_wire_fed": round(fps_wire, 2),
         "wire_MB_per_s": round(fps_wire * bytes_per_frame / 1e6, 1),
         "fps_undistort": round(fps_undistort, 2),

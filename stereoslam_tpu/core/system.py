@@ -137,18 +137,26 @@ class StereoSlam:
         # Optional image undistortion (reference camera.cpp:36-48), fused
         # into the on-device preprocessing via a precomputed remap grid.
         if cam.need_undistortion:
-            from stereoslam_tpu.ops.camera import undistort_image, undistortion_map
+            # Banded two-pass remap: the undistortion warp as statically
+            # shifted fused multiply-adds instead of per-pixel gathers
+            # (which serialize on TPU — measured 24 vs 60+ FPS end-to-end
+            # at KITTI resolution).  See ops/camera.py banded_remap_plan.
+            from stereoslam_tpu.ops.camera import (
+                banded_remap,
+                banded_remap_plan,
+                undistortion_map,
+            )
 
             h, w = cfg.image_height, cfg.image_width
-            map_l = undistortion_map(
+            plan_l = banded_remap_plan(undistortion_map(
                 h, w, self.intr_left, jnp.asarray([cam.k1, cam.k2, cam.p1, cam.p2])
-            )
-            map_r = undistortion_map(
+            ))
+            plan_r = banded_remap_plan(undistortion_map(
                 h, w, self.intr_right,
                 jnp.asarray([cam.k1_right, cam.k2_right, cam.p1_right, cam.p2_right]),
-            )
-            self._pre_left = lambda u8: undistort_image(u8.astype(jnp.float32), map_l)
-            self._pre_right = lambda u8: undistort_image(u8.astype(jnp.float32), map_r)
+            ))
+            self._pre_left = lambda u8: banded_remap(u8.astype(jnp.float32), plan_l)
+            self._pre_right = lambda u8: banded_remap(u8.astype(jnp.float32), plan_r)
         else:
             self._pre_left = self._pre_right = lambda u8: u8.astype(jnp.float32)
 
@@ -203,6 +211,28 @@ class StereoSlam:
             return fs2, m2, pyr, packed
 
         self._jit_frame = jax.jit(_frame)
+
+        def _chunk(fs, m, pyr_prev, lr_chunk, ts_chunk):
+            # C frames per device dispatch (lax.scan over the SAME fused
+            # frame program — keyframe creation, inline BA and all).  The
+            # single-frame path enqueues one program per frame, and on the
+            # tunneled chip the host-side enqueue (~10 ms/frame: arg
+            # processing for the big state pytree + tunnel dispatch) exceeds
+            # the 6 ms device program — the pipeline runs HOST-bound.
+            # Chunking divides that host cost by C and returns ONE stacked
+            # (C, 22) outcome buffer per dispatch instead of C small ones.
+            def body(carry, x):
+                fs_c, m_c, pyr_c = carry
+                lr, ts = x
+                fs2, m2, pyr2, packed = _frame(fs_c, m_c, pyr_c, lr, ts)
+                return (fs2, m2, tuple(pyr2)), packed
+
+            (fs2, m2, pyr2), packed_all = jax.lax.scan(
+                body, (fs, m, tuple(pyr_prev)), (lr_chunk, ts_chunk)
+            )
+            return fs2, m2, pyr2, packed_all
+
+        self._jit_chunk = jax.jit(_chunk)
         self._jit_stereo_init = jax.jit(
             partial(
                 frontend_mod.stereo_init_step,
@@ -304,17 +334,79 @@ class StereoSlam:
             (self._frame_count, packed, lr_u8, pyr_left)
         )
         self._frame_count += 1
-        while len(self._inflight) > self.readback_lag:
-            self._retire(*self._inflight.pop(0))
+        while self._inflight_frames() > self.readback_lag:
+            self._retire_entry(self._inflight.pop(0))
             if self._status == LOST:
                 break
         rec.status = self._status
         self.profiler.end_frame()
         return self._status != LOST
 
+    def process_chunk(self, lr_chunk, timestamps) -> bool:
+        """Track C staged frames with ONE device dispatch (device-resident
+        fast path).
+
+        ``lr_chunk``: (C, 2, H, W) uint8 on device; ``timestamps``: C floats.
+        Semantically identical to C ``process_staged`` calls — the chunk
+        program is a ``lax.scan`` of the same fused frame program — but the
+        host pays ONE dispatch and ONE packed-outcome readback per chunk, so
+        throughput stays device-bound where per-frame dispatch cost would
+        dominate (measured 101 -> 124 FPS tracking-only on the tunneled
+        v5e).  Requires initialized tracking (run the first frames through
+        :meth:`process_staged`).  Returns False once LOST retires.
+        """
+        if self._status == LOST:
+            return False
+        if self._status == INITING:
+            raise RuntimeError(
+                "process_chunk requires initialized tracking; feed the first "
+                "frames through process_frame/process_staged"
+            )
+        C = int(lr_chunk.shape[0])
+        ts = jnp.asarray(np.asarray(timestamps, np.float32))
+        t_enq = time.perf_counter()
+        fs, m, pyr, packed_all = self._jit_chunk(
+            self.fs, self.map, self._pyr_prev, lr_chunk, ts
+        )
+        if hasattr(packed_all, "copy_to_host_async"):
+            packed_all.copy_to_host_async()
+        self.fs, self.map, self._pyr_prev = fs, m, pyr
+        base = self._frame_count
+        for i in range(C):
+            self._ts_by_frame[base + i] = float(timestamps[i])
+            self._enqueue_t[base + i] = t_enq
+        self._frame_count += C
+        self._inflight.append(("chunk", base, C, packed_all, lr_chunk))
+        # Lag accounting is in FRAMES, entries retire whole.
+        while self._inflight_frames() > max(self.readback_lag, C):
+            self._retire_entry(self._inflight.pop(0))
+            if self._status == LOST:
+                break
+        return self._status != LOST
+
+    def _inflight_frames(self) -> int:
+        return sum(
+            e[2] if isinstance(e, tuple) and e and e[0] == "chunk" else 1
+            for e in self._inflight
+        )
+
+    def _retire_entry(self, entry, record_latency: bool = True) -> None:
+        if isinstance(entry, tuple) and entry and entry[0] == "chunk":
+            _, base, C, packed_all, lr_chunk = entry
+            arr = np.asarray(packed_all)  # (C, 22) — one host copy
+            for i in range(C):
+                self._retire(
+                    base + i, arr[i], lr_chunk, None,
+                    record_latency=record_latency, chunk_index=i,
+                )
+                if self._status == LOST:
+                    return
+        else:
+            self._retire(*entry, record_latency=record_latency)
+
     # ------------------------------------------------------------------
     def _retire(self, frame_idx: int, packed, lr_u8, pyr_left,
-                record_latency: bool = True) -> None:
+                record_latency: bool = True, chunk_index: Optional[int] = None) -> None:
         """Process the (lagged) outcome of an already-enqueued frame: record
         metrics, update host-visible status, and launch the per-keyframe work
         (BA + loop closing) if that frame created one.
@@ -384,13 +476,16 @@ class StereoSlam:
             if self.profiler._current is not None:
                 self.profiler._current.keyframe_id = kf_id
             self._flush_pending_ba()
-            self._after_keyframe(lr_u8, pyr_left, kf_id)
+            # Chunk retire: lr_u8 is the whole (C, 2, H, W) stack; slice out
+            # this keyframe's pair (a device op — paid only on KF frames).
+            lr_kf = lr_u8[chunk_index] if chunk_index is not None else lr_u8
+            self._after_keyframe(lr_kf, pyr_left, kf_id)
 
     def _drain(self) -> None:
         """Retire every in-flight frame and resolve the pending loop
         decision (used before reading map state)."""
         while self._inflight:
-            self._retire(*self._inflight.pop(0), record_latency=False)
+            self._retire_entry(self._inflight.pop(0), record_latency=False)
             if self._status == LOST:
                 self._inflight.clear()
         if self.enable_loop:

@@ -62,3 +62,54 @@ def test_triangulate_moving_cameras(rng):
     assert np.asarray(good).mean() > 0.9
     err = np.linalg.norm(np.asarray(p_est) - p_w, axis=-1)
     assert np.median(err[np.asarray(good)]) < 0.05
+
+
+def test_banded_remap_matches_gather_remap(rng):
+    """The banded two-pass (gather-free) remap agrees with the reference
+    per-pixel bilinear remap on a realistic radial-distortion warp."""
+    import jax.numpy as jnp
+
+    from stereoslam_tpu.ops.camera import (
+        Intrinsics,
+        banded_remap,
+        banded_remap_plan,
+        undistort_image,
+        undistortion_map,
+    )
+
+    H, W = 94, 310  # KITTI-like aspect, scaled down
+    intr = Intrinsics.create(180.0, 180.0, W / 2, H / 2)
+    dist = jnp.asarray([-0.28, 0.07, 1e-3, -5e-4])
+    src = undistortion_map(H, W, intr, dist)
+    plan = banded_remap_plan(src)
+    assert plan.jx_hi - plan.jx_lo >= 1  # the warp has a real residual band
+
+    # Smooth-ish image (real imagery is band-limited; the two-pass
+    # approximation error scales with image gradient x warp curvature).
+    img = rng.standard_normal((H, W)).astype(np.float32)
+    from stereoslam_tpu.ops.image import gaussian_blur
+
+    img = np.asarray(gaussian_blur(jnp.asarray(img), sigma=1.5, radius=4)) * 60 + 128
+
+    ref = np.asarray(undistort_image(jnp.asarray(img), src))
+    fast = np.asarray(banded_remap(jnp.asarray(img), plan))
+    err = np.abs(ref - fast)
+    # Interior agreement (borders differ by clamp convention).
+    interior = err[4:-4, 4:-4]
+    assert interior.max() < 1.5, interior.max()   # < 0.6% of 8-bit range
+    assert interior.mean() < 0.05, interior.mean()
+
+
+def test_banded_remap_identity_when_undistorted():
+    import jax.numpy as jnp
+
+    from stereoslam_tpu.ops.camera import (
+        Intrinsics, banded_remap, banded_remap_plan, undistortion_map,
+    )
+
+    H, W = 40, 60
+    intr = Intrinsics.create(50.0, 50.0, 30.0, 20.0)
+    plan = banded_remap_plan(undistortion_map(H, W, intr, jnp.zeros(4)))
+    img = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+    out = np.asarray(banded_remap(img, plan))
+    np.testing.assert_allclose(out[:, :-1], np.asarray(img)[:, :-1], atol=0.1)
