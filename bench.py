@@ -250,19 +250,23 @@ def main():
     lat = np.zeros(0)
     ba_iters_per_sec = 0.0
     slam = None
-    fps_frame = 0.0
+    fps_chunked = 0.0
     if "a" in phases:
-        _note("phase A: device-resident chunked full pipeline")
-        slam, fps = run_chunked(True, True)
-        _note(f"  chunked fps={fps:.1f}; per-frame resident next")
-        slam_f, fps_frame = run_resident(True, True)
-        lat = np.asarray(
-            slam_f.frame_latency_ms[warmup:] or slam_f.frame_latency_ms
-        )
-        _note(f"  per-frame resident fps={fps_frame:.1f}; wire-fed next")
+        _note("phase A: device-resident full pipeline (per-frame dispatch)")
+        slam, fps = run_resident(True, True)
+        lat = np.asarray(slam.frame_latency_ms[warmup:] or slam.frame_latency_ms)
+        _note(f"  resident fps={fps:.1f}; chunked next")
+        # Chunked dispatch measured SLOWER than per-frame on the tunneled
+        # v5e (the scan carry costs more than the dispatch it saves), so
+        # per-frame is the shipped mode; the chunked figure is recorded so
+        # the trade stays visible (process_chunk remains the right call
+        # when host dispatch is the bottleneck, e.g. slow host / many
+        # pipelines per host).
+        _, fps_chunked = run_chunked(True, True)
+        _note(f"  chunked fps={fps_chunked:.1f}; wire-fed next")
         _, fps_wire = run_wire(True, True)
         _note(f"  wire fps={fps_wire:.1f}; tracking-only next")
-        _, tracking_fps = run_chunked(False, False)
+        _, tracking_fps = run_resident(False, False)
         _note(f"  tracking fps={tracking_fps:.1f}; undistort-ON next")
         _, fps_undistort = run_resident(
             True, True, undistort=True,
@@ -405,7 +409,7 @@ def main():
         "vs_baseline": round(fps / 100.0, 3),
         "baseline_def": "reference ~100 FPS on KITTI, undistortion skipped "
                         "(README.md:98); undistortion-ON compares vs 50",
-        "fps_resident_per_frame_dispatch": round(fps_frame, 2),
+        "fps_resident_chunked8": round(fps_chunked, 2),
         "fps_wire_fed": round(fps_wire, 2),
         "wire_MB_per_s": round(fps_wire * bytes_per_frame / 1e6, 1),
         "fps_undistort": round(fps_undistort, 2),

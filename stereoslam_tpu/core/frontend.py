@@ -101,6 +101,7 @@ def track_step(
         iters=cfg.tracking.lk_iters,
         eps=cfg.tracking.lk_eps,
         forward_backward=cfg.tracking.lk_forward_backward,
+        fb_levels=cfg.tracking.lk_fb_levels,
     )
     flow = pyramidal_lk(pyr_prev, pyr_cur, tr.xy, init_px, **lk_kw)
     if cfg.tracking.lk_retry_fail_frac > 0:

@@ -97,6 +97,7 @@ def run_world_eval(
     readback_lag: Optional[int] = None,
     traj_out: Optional[str] = None,
     vo_baseline: bool = True,
+    cfg_overrides: Optional[dict] = None,
 ) -> dict:
     """Run the full pipeline on the world circuit at shipped defaults.
 
@@ -130,6 +131,16 @@ def run_world_eval(
         image_width=w,
         # loop: SHIPPED DEFAULTS — deliberately not overridden.
     )
+    if cfg_overrides:
+        # Experiment hook (tuning sweeps): {"tracking": {...}, ...} section
+        # overrides.  The CANONICAL record is always produced with
+        # cfg_overrides=None — the pinned test calls it that way.
+        import dataclasses
+
+        cfg = cfg.replace(**{
+            sec: dataclasses.replace(getattr(cfg, sec), **fields)
+            for sec, fields in cfg_overrides.items()
+        })
     assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
 
     def make_slam(enable_loop: bool) -> StereoSlam:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from stereoslam_tpu.ops import se3
@@ -233,25 +234,42 @@ def _shift(img: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     return jnp.pad(img[tuple(sl)], pad, mode="edge")
 
 
+def _band_pass(img, S, jrel, frac, j_lo, j_hi, axis):
+    """One remap pass: accumulate two-hot residual taps over the base
+    selection matmul.  A ``fori_loop`` with a dynamic slice per tap — the
+    strong-distortion vertical band spans ~45 taps, and unrolling that many
+    matmuls into every enclosing program multiplied XLA compile time past
+    usability (the runtime cost is identical)."""
+    H, W = img.shape
+    n_taps = j_hi - j_lo + 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (max(-j_lo, 0), max(j_hi + 1, 0))
+    P = jnp.pad(img, pad, mode="edge")
+
+    def body(i, acc):
+        j = j_lo + i
+        start = [0, 0]
+        start[axis] = i  # == j - j_lo into the padded image
+        sh = jax.lax.dynamic_slice(P, start, (H, W))
+        base = (sh @ S.T) if axis == 1 else (S @ sh)         # MXU
+        w = (1.0 - frac) * (jrel == j) + frac * ((jrel + 1) == j)
+        return acc + w * base
+
+    return jax.lax.fori_loop(0, n_taps, body, jnp.zeros_like(img))
+
+
 def banded_remap(img: jnp.ndarray, plan: BandedRemapPlan) -> jnp.ndarray:
     """Undistort ``img`` through a :func:`banded_remap_plan` — the
     gather-free MXU formulation of ``cv::remap`` (reference
-    Camera::UndistortImage, camera.cpp:36-48)."""
-    # Horizontal pass: tmp[r, u] = img[r, xq(r, u)].  For each residual tap
-    # j, (shift(img, j) @ Sx^T)[r, u] == img[r, X0(u) + j]; blend taps with
-    # the per-pixel two-hot weights.
-    tmp = jnp.zeros_like(img)
-    for j in range(plan.jx_lo, plan.jx_hi + 2):
-        base_j = _shift(img, j, axis=1) @ plan.Sx.T          # (H, W) on MXU
-        w = (1.0 - plan.fx) * (plan.jx == j) + plan.fx * ((plan.jx + 1) == j)
-        tmp = tmp + w * base_j
-    # Vertical pass: out[v, u] = tmp[yd(v, u), u].
-    out = jnp.zeros_like(img)
-    for j in range(plan.jy_lo, plan.jy_hi + 2):
-        base_j = plan.Sy @ _shift(tmp, j, axis=0)            # (H, W) on MXU
-        w = (1.0 - plan.fy) * (plan.jy == j) + plan.fy * ((plan.jy + 1) == j)
-        out = out + w * base_j
-    return out
+    Camera::UndistortImage, camera.cpp:36-48).
+
+    Horizontal pass: tmp[r, u] = img[r, xq(r, u)] — for each residual tap
+    j, (shift(img, j) @ Sx^T)[r, u] == img[r, X0(u) + j], blended with the
+    per-pixel two-hot weights.  Vertical pass symmetric."""
+    tmp = _band_pass(img, plan.Sx, plan.jx, plan.fx, plan.jx_lo, plan.jx_hi,
+                     axis=1)
+    return _band_pass(tmp, plan.Sy, plan.jy, plan.fy, plan.jy_lo, plan.jy_hi,
+                      axis=0)
 
 
 def undistort_points(px: jnp.ndarray, intr: Intrinsics, dist: jnp.ndarray, iters: int = 5) -> jnp.ndarray:

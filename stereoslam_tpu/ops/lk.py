@@ -137,6 +137,7 @@ def pyramidal_lk(
     max_error: float = 30.0,
     forward_backward: float = 0.0,
     fb_iters: int = 10,
+    fb_levels: int = 0,
 ) -> FlowResult:
     """Track points from ``pyr_prev`` to ``pyr_next``.
 
@@ -214,9 +215,15 @@ def pyramidal_lk(
         # Backward init = zero flow (NOT the known start, which would bias
         # the check toward confirming the forward result).  Fewer iterations
         # suffice: the backward pass only has to land in the right basin,
-        # not converge to sub-pixel precision.
+        # not converge to sub-pixel precision.  ``fb_levels`` (0 = all)
+        # optionally restricts the backward pass to the finest pyramid
+        # levels: a ghost lock disagrees with the true motion by many
+        # pixels, which the fine levels expose without paying the full
+        # coarse-to-fine sweep a second time.
+        fb_pyr_next = pyr_next[:fb_levels] if fb_levels > 0 else pyr_next
+        fb_pyr_prev = pyr_prev[:fb_levels] if fb_levels > 0 else pyr_prev
         back = pyramidal_lk(
-            pyr_next, pyr_prev, pts_next, pts_next,
+            fb_pyr_next, fb_pyr_prev, pts_next, pts_next,
             window=window, iters=fb_iters, eps=eps, max_error=max_error,
             forward_backward=0.0,
         )

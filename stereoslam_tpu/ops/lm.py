@@ -120,8 +120,8 @@ def optimize_pose(
     """
     delta2 = chi2_threshold
 
-    def li_iter(carry, _):
-        T, inlier, lam, use_huber = carry
+    def li_iter(carry):
+        it, T, inlier, lam, use_huber, done = carry
         px, J = project_jacobian(T, X_w, intr)
         r = obs_px - px                        # (N, 2)
         chi2 = jnp.sum(r * r, axis=-1)
@@ -142,14 +142,23 @@ def optimize_pose(
         improved = cost_new < cost_old
         T = jnp.where(improved, T_new, T)
         lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e2))
-        return (T, inlier, lam, use_huber), None
+        # Early exit ONLY on a numerically-converged ACCEPTED step: each LM
+        # iteration is a sequential device step and the solve typically
+        # converges well inside the 10-iteration budget.  (A rejected-step/
+        # saturated-damping exit was tried and REVERTED: high-damping
+        # iterations still make slow progress and refine the inlier set —
+        # cutting them moved the canonical world ATE 0.86 -> 2.2 m.)
+        done = improved & (jnp.sum(dx * dx) < 1e-12)
+        return it + 1, T, inlier, lam, use_huber, done
 
     def one_round(carry, round_idx):
         T, inlier, lam = carry
         # Reference drops the Huber kernel after two rounds (frontend.cpp:251).
         use_huber = round_idx < 2
-        (T, _, lam, _), _ = jax.lax.scan(
-            li_iter, (T, inlier, lam, use_huber), None, length=iters
+        _, T, _, lam, _, _ = jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[5])),
+            li_iter,
+            (jnp.int32(0), T, inlier, lam, use_huber, jnp.bool_(False)),
         )
         # Re-classify: chi2 against threshold (frontend.cpp:232-246) — flagged
         # points may be reinstated if their error dropped.

@@ -169,8 +169,8 @@ def solve_window_ba(
     ).astype(prob.lm_pos.dtype)                                        # (W, C, N)
     _pex = jax.lax.Precision.HIGHEST  # exact 0/1 selection
 
-    def lm_iter(carry, _):
-        cam_T, lm_pos, inlier, lam = carry
+    def lm_iter(carry):
+        it, cam_T, lm_pos, inlier, lam, done = carry
         px_hat, J_c, J_p = _project_all(cam_T, lm_pos, prob.obs_lm, intr)
         r = prob.obs_px - px_hat                  # (W, N, 2)
         chi2 = jnp.sum(r * r, axis=-1)
@@ -241,7 +241,11 @@ def solve_window_ba(
         # already conservative — the 0.5/4 schedule measured 2-3 wasted
         # iterations per stall.
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-8), jnp.minimum(lam * 10.0, 1e3))
-        return (cam_T, lm_pos, inlier, lam), None
+        # Early exit ONLY on a numerically-converged ACCEPTED step (same
+        # rationale and same caveat as ops/lm.py — the rejected-step exit
+        # variant measurably degraded world ATE and was reverted).
+        done = ok & (jnp.sum(dx_cam * dx_cam) < 1e-10)
+        return it + 1, cam_T, lm_pos, inlier, lam, done
 
     # The reference's round schedule stops once the inlier ratio clears 0.5
     # (backend.cpp:212-232) — in practice after 1-2 of the 5 allowed rounds.
@@ -254,8 +258,10 @@ def solve_window_ba(
 
     def one_round(carry):
         cam_T, lm_pos, inlier, lam, rnd, _ = carry
-        (cam_T, lm_pos, inlier, lam), _ = jax.lax.scan(
-            lm_iter, (cam_T, lm_pos, inlier, lam), None, length=iters
+        _, cam_T, lm_pos, inlier, lam, _ = jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < iters, jnp.logical_not(c[5])),
+            lm_iter,
+            (jnp.int32(0), cam_T, lm_pos, inlier, lam, jnp.bool_(False)),
         )
         chi2 = chi2_of(cam_T, lm_pos)
         inlier = base_valid & (chi2 <= chi2_threshold)

@@ -41,17 +41,30 @@ def test_world_eval_plumbing_small():
     reason="full world circuit, ~10 min on CPU; set STEREOSLAM_SLOW_TESTS=1",
 )
 def test_world_eval_matches_committed_record():
-    """Full-defaults evaluation reproduces the committed EVAL_WORLD.json."""
+    """Full-defaults evaluation reproduces the committed EVAL_WORLD.json
+    (tolerances tightened per VERDICT r3 #7: ATE within 25%, loop-edge
+    pairs as an exact set up to one missing/extra, loop-ON no worse than
+    the pinned loop-OFF baseline)."""
     assert os.path.exists(_RECORD), "EVAL_WORLD.json missing — run scripts/eval_world.py --out EVAL_WORLD.json"
     with open(_RECORD) as f:
         want = json.load(f)
     rec = E.run_world_eval()
     assert rec["params"] == want["params"], "eval defaults drifted from the record"
-    # Loop coverage must not regress, and the matched pairs must stay true
-    # revisits.
-    assert len(rec["loop_edges"]) >= max(1, len(want["loop_edges"]) - 1)
+    # Loop edges: same pairs as the record up to ONE symmetric-difference
+    # pair per side (KF ids may shift by platform-numerics cadence drift —
+    # compare by current-KF id with +-2 slack).
+    def edge_key(e):
+        return e[0]
+    got = sorted(e[0] for e in rec["loop_edges"])
+    exp = sorted(e[0] for e in want["loop_edges"])
+    assert len(got) >= len(exp) - 1, (got, exp)
+    matched = sum(any(abs(g - e) <= 2 for e in exp) for g in got)
+    assert matched >= len(exp) - 1, (got, exp)
+    # Every matched pair stays a true revisit.
     assert all(d < 5.0 for d in rec["edge_gt_dist_m"])
-    # ATE within 50% of the committed record (platform numerics move the
-    # trajectory slightly; an order-of-magnitude excursion is a regression).
-    assert rec["ate_m"] <= want["ate_m"] * 1.5 + 0.1, (rec["ate_m"], want["ate_m"])
-    assert abs(rec["kf_rate"] - want["kf_rate"]) < 0.06
+    # ATE within 25% of the committed record.
+    assert rec["ate_m"] <= want["ate_m"] * 1.25 + 0.05, (rec["ate_m"], want["ate_m"])
+    # Loop closing must beat the pinned VO baseline (VERDICT r3 #6).
+    if want.get("ate_vo_m"):
+        assert rec["ate_m"] <= want["ate_vo_m"], (rec["ate_m"], want["ate_vo_m"])
+    assert abs(rec["kf_rate"] - want["kf_rate"]) < 0.03
