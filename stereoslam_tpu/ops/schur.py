@@ -243,8 +243,16 @@ def solve_window_ba(
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-8), jnp.minimum(lam * 10.0, 1e3))
         # Early exit ONLY on a numerically-converged ACCEPTED step (same
         # rationale and same caveat as ops/lm.py — the rejected-step exit
-        # variant measurably degraded world ATE and was reverted).
-        done = ok & (jnp.sum(dx_cam * dx_cam) < 1e-10)
+        # variant measurably degraded world ATE and was reverted).  The
+        # LANDMARK step must be converged too: a near-zero camera step with
+        # landmarks still moving is mid-alternation, not convergence —
+        # exiting there left the map subtly under-refined on CPU, whose
+        # exact f32 arithmetic reaches tiny camera steps far earlier than
+        # the TPU's mixed-precision path.
+        dxp_masked = jnp.where(lm_free[:, None], dx_p, 0.0)
+        done = ok & (jnp.sum(dx_cam * dx_cam) < 1e-10) & (
+            jnp.sum(dxp_masked * dxp_masked) < 1e-8
+        )
         return it + 1, cam_T, lm_pos, inlier, lam, done
 
     # The reference's round schedule stops once the inlier ratio clears 0.5
