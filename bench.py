@@ -190,8 +190,10 @@ def main():
             for t in range(warmup)
         ]
         chunks = []
-        for base in range(warmup, n_frames, chunk):
-            hi = min(base + chunk, n_frames)
+        # Full-size chunks only: a trailing odd-size chunk is a different
+        # program shape and would compile INSIDE the clock.
+        for base in range(warmup, n_frames - chunk + 1, chunk):
+            hi = base + chunk
             chunks.append((
                 jax.device_put(np.stack([
                     np.stack([seq.left[t], seq.right[t]]) for t in range(base, hi)
