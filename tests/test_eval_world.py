@@ -10,7 +10,11 @@ evaluation and compares against it.
 
 The full-scale run takes ~10 min on CPU, so it is gated behind
 STEREOSLAM_SLOW_TESTS; the fast test below exercises the same code path on
-a small world every CI run.
+a small world every CI run.  The gated test is not the only guard on the
+committed record: ``bench.py`` Phase B re-runs the identical evaluation on
+the real chip every round and the driver archives the result in
+``BENCH_r*.json`` (ADVICE r3 #3 — a scheduled lane exists, it is the
+bench).
 """
 
 import json
