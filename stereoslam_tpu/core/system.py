@@ -142,21 +142,36 @@ class StereoSlam:
             # (which serialize on TPU — measured 24 vs 60+ FPS end-to-end
             # at KITTI resolution).  See ops/camera.py banded_remap_plan.
             from stereoslam_tpu.ops.camera import (
+                NonMonotoneWarpError,
                 banded_remap,
                 banded_remap_plan,
+                undistort_image,
                 undistortion_map,
             )
 
             h, w = cfg.image_height, cfg.image_width
-            plan_l = banded_remap_plan(undistortion_map(
+            map_l = undistortion_map(
                 h, w, self.intr_left, jnp.asarray([cam.k1, cam.k2, cam.p1, cam.p2])
-            ))
-            plan_r = banded_remap_plan(undistortion_map(
+            )
+            map_r = undistortion_map(
                 h, w, self.intr_right,
                 jnp.asarray([cam.k1_right, cam.k2_right, cam.p1_right, cam.p2_right]),
-            ))
-            self._pre_left = lambda u8: banded_remap(u8.astype(jnp.float32), plan_l)
-            self._pre_right = lambda u8: banded_remap(u8.astype(jnp.float32), plan_r)
+            )
+            try:
+                plan_l = banded_remap_plan(map_l)
+                plan_r = banded_remap_plan(map_r)
+                self._pre_left = lambda u8: banded_remap(u8.astype(jnp.float32), plan_l)
+                self._pre_right = lambda u8: banded_remap(u8.astype(jnp.float32), plan_r)
+            except NonMonotoneWarpError:
+                # Pathological calibration: the banded plan's 1-D inverse
+                # would be silently wrong.  Use the exact (slower) gather
+                # remap rather than a corrupted fast path.
+                log.warning(
+                    "undistortion warp not per-column monotone; falling back "
+                    "to gather remap (slower, exact)"
+                )
+                self._pre_left = lambda u8: undistort_image(u8.astype(jnp.float32), map_l)
+                self._pre_right = lambda u8: undistort_image(u8.astype(jnp.float32), map_r)
         else:
             self._pre_left = self._pre_right = lambda u8: u8.astype(jnp.float32)
 
@@ -395,9 +410,14 @@ class StereoSlam:
             _, base, C, packed_all, lr_chunk = entry
             arr = np.asarray(packed_all)  # (C, 22) — one host copy
             for i in range(C):
+                # Chunked frames share one enqueue stamp, so a per-frame
+                # latency sample would record chunk-retire latency for every
+                # frame in the chunk — not comparable with per-frame
+                # dispatch numbers.  Excluded from frame_latency_ms (same
+                # treatment as _drain-retired frames; ADVICE r4 #5).
                 self._retire(
                     base + i, arr[i], lr_chunk, None,
-                    record_latency=record_latency, chunk_index=i,
+                    record_latency=False, chunk_index=i,
                 )
                 if self._status == LOST:
                     return

@@ -131,6 +131,10 @@ def run_world_eval(
         image_width=w,
         # loop: SHIPPED DEFAULTS — deliberately not overridden.
     )
+    # Pinned-threshold guard runs BEFORE overrides: the canonical record is
+    # produced with cfg_overrides=None, and the hook must accept arbitrary
+    # section overrides (including "loop") for sweeps.
+    assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
     if cfg_overrides:
         # Experiment hook (tuning sweeps): {"tracking": {...}, ...} section
         # overrides.  The CANONICAL record is always produced with
@@ -141,7 +145,6 @@ def run_world_eval(
             sec: dataclasses.replace(getattr(cfg, sec), **fields)
             for sec, fields in cfg_overrides.items()
         })
-    assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
 
     def make_slam(enable_loop: bool) -> StereoSlam:
         slam = StereoSlam(cfg, enable_backend=True, enable_loop=enable_loop,

@@ -128,6 +128,12 @@ def undistort_image(img: jnp.ndarray, src_map: jnp.ndarray) -> jnp.ndarray:
     return bilinear_sample(img, src_map)
 
 
+class NonMonotoneWarpError(ValueError):
+    """Raised by :func:`banded_remap_plan` when the warp's y-map is not
+    per-column monotone (np.interp would silently produce a wrong inverse);
+    callers fall back to the gather-based :func:`undistort_image`."""
+
+
 class BandedRemapPlan(NamedTuple):
     """Precomputed plan for :func:`banded_remap` (built host-side once from
     the undistortion grid by :func:`banded_remap_plan`).
@@ -190,6 +196,16 @@ def banded_remap_plan(src_map) -> BandedRemapPlan:
     xd = np.clip(m[..., 0], 0.0, W - 1.001)
     yd = np.clip(m[..., 1], 0.0, H - 1.001)
 
+    # np.interp silently returns wrong values for non-increasing xp.  yd is
+    # monotone in y for mild physical undistortion, but boundary clipping can
+    # create flat runs and strong tangential/pincushion coefficients can
+    # break monotonicity — check once here (host-side f64, free) and make the
+    # caller fall back to the gather remap instead of a silently wrong plan.
+    if not np.all(np.diff(yd, axis=0) >= 0.0):
+        raise NonMonotoneWarpError(
+            "yd is not monotone non-decreasing per column; banded_remap_plan "
+            "would be silently wrong — use undistort_image (gather remap)"
+        )
     ygrid = np.arange(H, dtype=np.float64)
     xq = np.empty_like(xd)
     for x in range(W):
@@ -251,7 +267,16 @@ def _band_pass(img, S, jrel, frac, j_lo, j_hi, axis):
         start = [0, 0]
         start[axis] = i  # == j - j_lo into the padded image
         sh = jax.lax.dynamic_slice(P, start, (H, W))
-        base = (sh @ S.T) if axis == 1 else (S @ sh)         # MXU
+        # HIGHEST precision: the default truncates the f32 image operand to
+        # bf16 (~0.5-1 intensity-level error per pass, two passes), which
+        # feeds FAST thresholds / LK gradients and breaks CPU/TPU parity.
+        # Matches the exact-0/1 selection pattern in ops/schur.py.
+        hp = jax.lax.Precision.HIGHEST
+        base = (
+            jnp.matmul(sh, S.T, precision=hp)
+            if axis == 1
+            else jnp.matmul(S, sh, precision=hp)
+        )  # MXU
         w = (1.0 - frac) * (jrel == j) + frac * ((jrel + 1) == j)
         return acc + w * base
 

@@ -134,7 +134,15 @@ def detect_keypoints(
     score_lo = _nms3(score_lo)
 
     # High-threshold corners dominate low-threshold ones in every ranking.
-    BONUS = 1e6
+    # BONUS/tier sizing keeps every summed ranking key inside f32's
+    # exact-ulp range: raw FAST responses are bounded by 16*255 = 4080
+    # (clamped to 4095 to enforce it), so with BONUS = 4096 and rank tiers
+    # of 4*BONUS the worst key is 4095 + 4096 + 7*16384 = 122,879 < 2^17,
+    # ulp 2^-6 — near-equal corners order by true response, not by f32
+    # rounding (the old 1e6 BONUS put m=8 keys at ~2.9e7 where ulp is 2).
+    BONUS = 4096.0
+    score_hi = jnp.minimum(score_hi, 4095.0)
+    score_lo = jnp.minimum(score_lo, 4095.0)
     score = jnp.where(score_hi > 0.0, score_hi + BONUS, score_lo)
 
     # Border + user mask.
