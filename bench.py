@@ -351,13 +351,15 @@ def main():
     # frames/s is the scaling unit that multiplies across data-parallel mesh
     # slots on a real slice.
     multiseq_fps = None
+    multiseq_mpx = None
     if "m" in phases:
         try:
             from stereoslam_tpu.parallel.multiseq import MultiSeqVO
 
             B = int(os.environ.get("BENCH_MULTISEQ_BATCH", "8"))
+            n_m = int(os.environ.get("BENCH_MULTISEQ_FRAMES", "72"))
             mseqs = [
-                generate_sequence(n_frames=40, h=240, w=376, fx=320.0,
+                generate_sequence(n_frames=n_m, h=240, w=376, fx=320.0,
                                   baseline=0.54, n_points=2000,
                                   trajectory="forward", speed=0.6, seed=20 + b)
                 for b in range(B)
@@ -372,22 +374,27 @@ def main():
             )
             from stereoslam_tpu.utils.feed import BatchFeed
 
+            # r5: sub-batched keyframe servicing (kf_sub=2) caps per-step KF
+            # work at 2 sequences instead of B; loop verification runs
+            # host-side per rare event and never blocks the batched stream.
             vo = MultiSeqVO(mcfg, batch=B)
             stack = lambda t, field: np.stack([getattr(s, field)[t] for s in mseqs])
             vo.initialize(stack(0, "left"), stack(0, "right"), np.zeros(B))
-            for t in range(1, 8):  # compile both branches
+            warm_m = 16  # compile + let deferred KF phases self-stagger
+            for t in range(1, warm_m):
                 vo.process_frames(stack(t, "left"), stack(t, "right"), np.full(B, t * 0.1))
             vo.drain()
             t0 = time.perf_counter()
             feed = BatchFeed(
                 ((stack(t, "left"), stack(t, "right"), np.full(B, t * 0.1))
-                 for t in range(8, 40))
+                 for t in range(warm_m, n_m))
             )
             for lr, ts in feed:
                 vo.process_staged(lr, ts)
             vo.drain()
             jax.block_until_ready(vo.fs.T_rk)
-            multiseq_fps = B * 32 / max(time.perf_counter() - t0, 1e-9)
+            multiseq_fps = B * (n_m - warm_m) / max(time.perf_counter() - t0, 1e-9)
+            multiseq_mpx = multiseq_fps * 240 * 376 / 1e6
         except Exception as e:
             sys.stderr.write(f"multiseq phase failed: {e}\n")
 
@@ -478,6 +485,7 @@ def main():
     }
     if multiseq_fps is not None:
         rec["multiseq_agg_fps_240x376_b8"] = round(multiseq_fps, 2)
+        rec["multiseq_agg_Mpx_per_s"] = round(multiseq_mpx, 2)
     if world_kitti_fps is not None:
         rec["world_circuit_kitti_res_fps"] = round(world_kitti_fps, 2)
     if world is not None:

@@ -16,10 +16,13 @@ Candidate sinks, each measured separately here, in ONE process back-to-back
 Usage: python scripts/probe_dispatch.py [n_frames]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(seq, H, W, kf_never=False, lag=4):

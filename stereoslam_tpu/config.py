@@ -123,6 +123,11 @@ class TrackingConfig:
     # finest levels expose without paying the full coarse-to-fine sweep
     # twice (ops/lk.py pyramidal_lk).
     lk_fb_levels: int = 0
+    # Iteration cap for the backward (consistency) pass.  The round trip only
+    # has to land in the right basin, not converge to sub-pixel precision —
+    # the r5 knob probe measured the FB pass at ~2.5 ms/frame of the 5.1 ms
+    # LK budget at KITTI res, so its cap is tunable separately.
+    lk_fb_iters: int = 10
     # Rescue LK pass seeded at the previous positions, fired (device-side
     # cond) only when more than this fraction of valid tracks failed the
     # seeded pass — i.e. when the constant-velocity prior misled (corner
@@ -188,8 +193,17 @@ class MapConfig:
 class BackendConfig:
     """Sliding-window BA (reference src/backend.cpp:126-269)."""
 
-    ba_rounds: int = 5          # outlier re-classification rounds, backend.cpp:213
-    ba_iters: int = 10
+    # Caps on the reference's 5-round x 10-iteration schedule
+    # (backend.cpp:213).  Both loops carry convergence early exits
+    # (ops/schur.py), so these are ceilings, not budgets.  The r5 TPU sweep
+    # (scripts/SWEEP_SPEED.json) measured 3x8 and 4x8 producing IDENTICAL
+    # canonical-world trajectories (ATE 0.7126) — the extra rounds never
+    # execute once the inlier ratio clears 0.5 (the reference's own stop
+    # rule, backend.cpp:212-232) — and both beat the 5x10 ceiling's 1.018 m
+    # while cutting ~0.7 ms/frame of windowed-BA tail: the only sweep knob
+    # that improved speed AND accuracy together.
+    ba_rounds: int = 3
+    ba_iters: int = 8
     chi2_threshold: float = 5.991
     min_inlier_ratio: float = 0.5
     # Pin the oldest window KF as the gauge anchor.  The reference relies
@@ -294,6 +308,49 @@ class SlamConfig:
 
     def replace(self, **kwargs: Any) -> "SlamConfig":
         return dataclasses.replace(self, **kwargs)
+
+    def scaled_for_resolution(self, ref_width: int = 376) -> "SlamConfig":
+        """Scale the pixel-denominated tracking/detection knobs to this
+        config's image width.
+
+        The shipped defaults are tuned at 376-px width (the canonical world
+        circuit; they also hold at KITTI's 1241 because the FEATURE scale —
+        texture, disparity per meter — grows with focal length there).  At
+        reduced resolutions the same pixel constants cover a multiple of
+        the field-of-view angle they were tuned for: at 120x188 an 11-px LK
+        window integrates 2x the scene, 16-px detection cells leave only ~45
+        interior cells for a 300-feature budget (starving spatial
+        distribution), a 20-px border discards 1/3 of the image rows, and a
+        1-px disparity floor rejects the same physical depth range that
+        passes at full resolution.  (VERDICT r4 next-round #5: the reference
+        tracks multiple resolutions with one parameter set per camera —
+        frontend.cpp — because those constants arrive from its per-camera
+        YAML; this helper is that per-camera adaptation, computed.)
+
+        Returns self unchanged when the width is at or above the reference
+        tuning width (upscaling the windows was measured neutral-to-harmful:
+        KITTI runs at the 376-tuned constants, BASELINE.md).
+        """
+        f = self.image_width / float(ref_width)
+        if f >= 1.0:
+            return self
+
+        def odd(x: int) -> int:
+            return x if x % 2 == 1 else x + 1
+
+        tr = dataclasses.replace(
+            self.tracking,
+            lk_window=odd(max(5, round(self.tracking.lk_window * f))),
+            stereo_min_disparity=self.tracking.stereo_min_disparity * f,
+        )
+        fe = dataclasses.replace(
+            self.features,
+            cell_size=max(8, round(self.features.cell_size * f)),
+            # BRIEF samples within a ~16-px patch radius; the detection
+            # border may shrink with resolution but never below that.
+            edge_margin=max(12, round(self.features.edge_margin * f)),
+        )
+        return dataclasses.replace(self, tracking=tr, features=fe)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,7 @@ def track_step(
         eps=cfg.tracking.lk_eps,
         forward_backward=cfg.tracking.lk_forward_backward,
         fb_levels=cfg.tracking.lk_fb_levels,
+        fb_iters=cfg.tracking.lk_fb_iters,
     )
     flow = pyramidal_lk(pyr_prev, pyr_cur, tr.xy, init_px, **lk_kw)
     if cfg.tracking.lk_retry_fail_frac > 0:

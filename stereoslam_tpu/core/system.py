@@ -129,6 +129,7 @@ class StereoSlam:
         # saturation; compact the landmark table at 90% pressure.
         self._warned_kf_full = False
         self._lm_compact_threshold = int(0.9 * cfg.map.max_landmarks)
+        self.compaction_count = 0  # live compactions (endurance evidence)
         from stereoslam_tpu.core.maintenance import compact_landmarks
 
         self._jit_compact = jax.jit(compact_landmarks)
@@ -482,6 +483,7 @@ class StereoSlam:
             self._flush_pending_ba()
             self.map, tracks, freed = self._jit_compact(self.map, self.fs.tracks)
             self.fs = self.fs._replace(tracks=tracks)
+            self.compaction_count += 1
             n_freed = int(freed)
             log.warning(
                 "landmark table at %d/%d: compacted, freed %d dead slots",

@@ -135,6 +135,10 @@ def run_world_eval(
     # produced with cfg_overrides=None, and the hook must accept arbitrary
     # section overrides (including "loop") for sweeps.
     assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
+    # Pixel-denominated knobs adapt to reduced resolutions (identity at the
+    # canonical 376-px width and above — the pinned records are untouched);
+    # explicit cfg_overrides still win below.
+    cfg = cfg.scaled_for_resolution()
     if cfg_overrides:
         # Experiment hook (tuning sweeps): {"tracking": {...}, ...} section
         # overrides.  The CANONICAL record is always produced with
@@ -207,3 +211,142 @@ def run_world_eval(
         },
     }
     return rec
+
+# ---------------------------------------------------------------------------
+# Reference-scale endurance evaluation (VERDICT r4 next-round #3): the
+# reference's saved KITTI-00 artifacts cover 4,541 frames / 742 keyframes /
+# 17 loop edges (result/trajectory.txt, result/loopEdges.txt).  No pinned
+# run exercised a 700-row descriptor database, a 700-vertex pose graph, or
+# repeated corrections at that scale before round 5 — this does: ~11 laps
+# of the canonical circuit, with landmark compaction deliberately put under
+# pressure (max_landmarks 65536 so the table crosses its 90% compaction
+# threshold mid-run) and start-vs-end stage timing evidence that the
+# O(K)-shaped work (DB scan, PGO) stays amortized.
+
+ENDURANCE_LAPS = 10.8  # ~4,550 frames at the canonical step
+
+
+def run_endurance(
+    laps: float = ENDURANCE_LAPS,
+    h: int = WORLD_H,
+    w: int = WORLD_W,
+    step: float = WORLD_STEP,
+    seed: int = WORLD_SEED,
+    seq=None,
+    readback_lag: Optional[int] = None,
+) -> dict:
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereoslam_tpu.config import CameraConfig, MapConfig, SlamConfig
+    from stereoslam_tpu.core.system import StereoSlam
+    from stereoslam_tpu.utils import world as W
+
+    n = int(W.frames_per_lap(step, WORLD_LENGTH, WORLD_WIDTH) * laps)
+    if seq is None:
+        seq = W.generate_world_sequence(
+            n_frames=n, h=h, w=w, fx=320.0 * w / WORLD_W, seed=seed, step=step,
+            length=WORLD_LENGTH, width=WORLD_WIDTH,
+        )
+    cfg = SlamConfig(
+        camera=CameraConfig(
+            fx=seq.fx, fy=seq.fy, cx=seq.cx, cy=seq.cy,
+            fx_right=seq.fx, fy_right=seq.fy, cx_right=seq.cx, cy_right=seq.cy,
+            bf=seq.fx * seq.baseline,
+        ),
+        image_height=h, image_width=w,
+        # Pressure the allocator on purpose: ~850 KFs x ~100-150 landmarks
+        # crosses 90% of 65536 mid-run, so compaction MUST fire live.
+        map=MapConfig(max_landmarks=65536),
+    )
+    assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
+
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True,
+                      readback_lag=readback_lag)
+    lost_at, count, fps = _drive(slam, seq, n)
+    ate = _traj_ate(slam, seq)
+
+    n_kf = int(slam.map.n_kf)
+    edges = [(int(a), int(b)) for a, b in slam.loop_edges]
+    fid = np.asarray(slam.map.kf_frame_id)[:n_kf]
+    edge_gt_dist = []
+    for cur, loop in edges:
+        g1 = np.linalg.inv(seq.T_cw[fid[cur]].astype(np.float64))[:3, 3]
+        g2 = np.linalg.inv(seq.T_cw[fid[loop]].astype(np.float64))[:3, 3]
+        edge_gt_dist.append(float(np.linalg.norm(g1 - g2)))
+
+    # Start-vs-end amortization evidence: per-frame latency p50 over the
+    # first and last 800 steady frames of the SAME run.
+    lat = np.asarray(slam.frame_latency_ms[EVAL_WARMUP:]
+                     or slam.frame_latency_ms or [0.0])
+    head = lat[: min(800, lat.size)]
+    tail = lat[-min(800, lat.size):]
+
+    # O(K)-shaped stages measured at FINAL database/graph size.
+    db_scan_ms = pgo_ms = None
+    if getattr(slam, "_loop_closer", None) is not None and n_kf > 1:
+        lc = slam._loop_closer
+        kf_last = jnp.int32(n_kf - 1)
+        out = lc._jit_detect(slam.loop, kf_last)
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(20):
+            out = lc._jit_detect(slam.loop, kf_last)
+        jax.block_until_ready(out)
+        db_scan_ms = (_time.perf_counter() - t0) / 20 * 1e3
+        # Full pose graph at final K (the same graph _correct_impl step 5
+        # builds, loopclosing.py): sequential + loop edges over every KF.
+        from stereoslam_tpu.ops.pgo import PoseGraph, optimize_pose_graph
+
+        m = slam.map
+        K = m.kf_T_cw.shape[0]
+        kf_ids = jnp.arange(K, dtype=jnp.int32)
+        active = m.active_kf
+        in_window = jnp.any(kf_ids[:, None] == active[None, :], axis=1) & m.kf_valid
+        fixed = in_window | (kf_ids == 0)
+        graph = PoseGraph(
+            poses=m.kf_T_cw, vertex_valid=m.kf_valid, fixed=fixed,
+            edge_i=jnp.concatenate([kf_ids, kf_ids]),
+            edge_j=jnp.concatenate([jnp.maximum(m.kf_prev, 0),
+                                    jnp.maximum(m.kf_loop, 0)]),
+            edge_meas=jnp.concatenate([m.kf_rel_prev, m.kf_rel_loop], axis=0),
+            edge_valid=jnp.concatenate(
+                [m.kf_valid & (m.kf_prev >= 0), m.kf_valid & (m.kf_loop >= 0)]
+            ),
+        )
+        solve = jax.jit(lambda g: optimize_pose_graph(
+            g, gn_iters=cfg.loop.pgo_gn_iters, cg_iters=cfg.loop.pgo_cg_iters))
+        out = solve(graph)
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(5):
+            out = solve(graph)
+        jax.block_until_ready(out)
+        pgo_ms = (_time.perf_counter() - t0) / 5 * 1e3
+
+    # True-revisit edges: ground-truth separation below half the street
+    # width (same criterion the canonical record reports distances for).
+    true_edges = sum(1 for d in edge_gt_dist if d < 5.0)
+    return {
+        "frames": count,
+        "lost_at": lost_at,
+        "ate_m": round(ate, 4),
+        "n_kf": n_kf,
+        "kf_rate": round(n_kf / max(count, 1), 4),
+        "loop_edges": edges,
+        "edge_gt_dist_m": [round(d, 2) for d in edge_gt_dist],
+        "true_revisit_edges": true_edges,
+        "n_lm_final": int(slam.map.n_lm),
+        "compactions": slam.compaction_count,
+        "fps": round(fps, 2),
+        "frame_ms_p50_first800": round(float(np.percentile(head, 50)), 2),
+        "frame_ms_p50_last800": round(float(np.percentile(tail, 50)), 2),
+        "db_scan_ms_final": round(db_scan_ms, 3) if db_scan_ms else None,
+        "pgo_ms_final_fullgraph": round(pgo_ms, 2) if pgo_ms else None,
+        "params": {"h": h, "w": w, "step": step, "seed": seed, "frames": n,
+                   "laps": laps, "max_landmarks": cfg.map.max_landmarks},
+        "reference_scale": {"frames": 4541, "n_kf": 742, "loop_edges": 17,
+                            "source": "result/trajectory.txt, result/loopEdges.txt"},
+    }

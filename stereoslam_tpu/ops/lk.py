@@ -40,10 +40,9 @@ def _level_impl(window: int) -> str:
     impl = os.environ.get("STEREOSLAM_LK", "auto")
     if impl in ("jnp", "pallas", "batched"):
         return impl
-    from stereoslam_tpu.ops import lk_pallas
-
-    if window != lk_pallas.WINDOW:
-        return "jnp"
+    # The batched one-hot formulation is window-generic (the Pallas kernel
+    # is compiled for one window size; only an explicit STEREOSLAM_LK=pallas
+    # selects it, and only at its own window).
     return "batched"
 
 

@@ -352,3 +352,123 @@ def test_batched_loop_detect_rules(rng):
     # Recorded edge for seq 0 only.
     lw = np.asarray(ldb2.loop_with)
     assert lw[0, 70] == 7 and lw[1, 70] == -1 and lw[2, 70] == -1
+
+
+def test_multiseq_kf_sub_batch_defers_and_services_all(rng):
+    """Sub-batch keyframe servicing (VERDICT r4 next-round #2a): with
+    kf_sub=1 and phase-aligned motion clocks, at most one sequence keyframes
+    per step; deferred sequences are serviced on later steps (self-staggered)
+    and no sequence starves or loses tracking."""
+    from stereoslam_tpu.parallel.multiseq import MultiSeqVO
+    from stereoslam_tpu.utils.synthetic import generate_sequence
+    from tests.test_system_vo import make_cfg
+
+    seqs = [generate_sequence(n_frames=20, trajectory="forward", seed=s)
+            for s in (3, 5, 9)]
+    cfg = make_cfg(seqs[0])
+
+    vo = MultiSeqVO(cfg, batch=3, kf_sub=1, verify_loops=False)
+    vo.initialize(
+        np.stack([s.left[0] for s in seqs]),
+        np.stack([s.right[0] for s in seqs]),
+        np.zeros(3),
+    )
+    kf_count_per_step = []
+    prev_nkf = np.asarray(vo.maps.n_kf).copy()
+    for t in range(1, 20):
+        inl = vo.process_frames(
+            np.stack([s.left[t] for s in seqs]),
+            np.stack([s.right[t] for s in seqs]),
+            np.full(3, t * 0.1),
+        )
+        assert (inl > cfg.features.num_features_tracking_bad).all()
+        nkf = np.asarray(vo.maps.n_kf)
+        kf_count_per_step.append(int((nkf - prev_nkf).sum()))
+        prev_nkf = nkf.copy()
+    vo.drain()
+    # The cap held every step...
+    assert max(kf_count_per_step) <= 1
+    # ...and every sequence still got its keyframes (init + >=2 from the
+    # 19 tracked frames at interval 7, deferral included).
+    assert (np.asarray(vo.maps.n_kf) >= 3).all()
+    # Deferral spread the phase-aligned bursts: total KFs close to the
+    # single-sequence cadence (19 frames / interval 7 -> 2-3 per seq).
+    assert sum(kf_count_per_step) >= 6
+
+
+def test_multiseq_verify_store_populated(rng):
+    """verify_loops mode stores reduced-pyramid ORB rows for each new KF,
+    giving the host-side verification stage its geometry."""
+    from stereoslam_tpu.parallel.multiseq import MultiSeqVO
+    from stereoslam_tpu.utils.synthetic import generate_sequence
+    from tests.test_system_vo import make_cfg
+
+    seqA = generate_sequence(n_frames=10, trajectory="forward", seed=3)
+    seqB = generate_sequence(n_frames=10, trajectory="forward", seed=5)
+    cfg = make_cfg(seqA)
+    vo = MultiSeqVO(cfg, batch=2, kf_sub=2, verify_loops=True, orb_levels=2)
+    vo.initialize(
+        np.stack([seqA.left[0], seqB.left[0]]),
+        np.stack([seqA.right[0], seqB.right[0]]),
+        np.zeros(2),
+    )
+    for t in range(1, 10):
+        vo.process_frames(
+            np.stack([seqA.left[t], seqB.left[t]]),
+            np.stack([seqA.right[t], seqB.right[t]]),
+            np.full(2, t * 0.1),
+        )
+    vo.drain()
+    n_kf = np.asarray(vo.maps.n_kf)
+    assert (n_kf >= 2).all()
+    # Every post-init keyframe row carries ORB descriptors (the init KF is
+    # created by stereo_init_step outside the fused program and is never a
+    # loop candidate before the id gap anyway).
+    ov = np.asarray(vo.loopdb.orb_valid)
+    for b in range(2):
+        for k in range(1, int(n_kf[b])):
+            assert ov[b, k].sum() > 0, f"seq {b} KF {k} has no ORB rows"
+
+
+def test_multiseq_loop_record_pinned():
+    """The pinned batched-loop-closing record (MULTISEQ_LOOP.json, produced
+    on TPU by scripts/multiseq_world.py) shows every sequence receiving a
+    verified, APPLIED correction and loop-ON ATE <= loop-OFF ATE
+    (VERDICT r4 next-round #2b)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MULTISEQ_LOOP.json")
+    if not os.path.exists(path):
+        pytest.skip("MULTISEQ_LOOP.json not yet pinned")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["batch"] >= 2
+    assert rec["all_corrected"], rec
+    assert rec["all_improved"], rec
+    for s in rec["per_seq"]:
+        assert len(s["applied_corrections"]) >= 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("STEREOSLAM_SLOW_TESTS"),
+    reason="two full-circuit batched runs; set STEREOSLAM_SLOW_TESTS=1",
+)
+def test_multiseq_world_loop_end_to_end(rng):
+    """Re-derive the MULTISEQ_LOOP record live: B=2 world circuits, each
+    sequence must get a verified correction that improves its ATE."""
+    import subprocess
+    import sys
+
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "scripts/multiseq_world.py", "--out", "/tmp/msl.json"],
+        cwd=repo, capture_output=True, text=True, timeout=3600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+
+    rec = json.loads(open("/tmp/msl.json").read())
+    assert rec["all_corrected"] and rec["all_improved"], rec
