@@ -176,7 +176,8 @@ class MultiSeqVO:
                  readback_lag: Optional[int] = None,
                  enable_backend: bool = True, enable_loop: bool = True,
                  descriptor_model=None, kf_sub: int = 2,
-                 verify_loops: bool = True, orb_levels: int = 2):
+                 verify_loops: bool = True, orb_levels: int = 2,
+                 hoist_branches: bool = True):
         from stereoslam_tpu.core.backend import optimize_active_map
         from stereoslam_tpu.core.frontend import (
             make_keyframe_step,
@@ -198,6 +199,22 @@ class MultiSeqVO:
         self.enable_loop = enable_loop
         self.verify_loops = bool(verify_loops and enable_loop)
         self.kf_sub = max(1, min(int(kf_sub), batch))
+        if hoist_branches:
+            # Under vmap the frontend's device-side lax.cond branches
+            # (rescue LK re-track, mid-stream replenish) lower to select:
+            # BOTH branches execute for every sequence on every step.  The
+            # r5 TPU decomposition measured them at 32 of the 90 ms batched
+            # step (scripts/probe_multiseq_cost.py) — rare-branch insurance
+            # priced as an always-on 35% tax.  Batched mode therefore runs
+            # the reference-parity frontend (KF-time triangulation only;
+            # the reference frontend.cpp has neither branch), trading a
+            # slightly higher keyframe rate on hard frames — the
+            # reference's own response to weak tracking — for ~1.5x step
+            # throughput.  Pass hoist_branches=False to keep them.
+            cfg = cfg.replace(tracking=dataclasses.replace(
+                cfg.tracking, lk_retry_fail_frac=0.0, replenish_min_inliers=0,
+            ))
+        self._run_cfg = cfg
         cam = cfg.camera
         self.intr = Intrinsics.create(cam.fx, cam.fy, cam.cx, cam.cy)
         intr_r = Intrinsics.create(cam.fx_right, cam.fy_right, cam.cx_right, cam.cy_right)
