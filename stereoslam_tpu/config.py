@@ -93,7 +93,17 @@ class TrackingConfig:
     """LK flow + pose-only optimization (reference src/frontend.cpp:127-276)."""
 
     lk_window: int = 11        # cv::Size(11, 11), frontend.cpp:150
-    lk_levels: int = 4         # maxLevel=3 -> levels 0..3
+    # Pyramid depth.  The reference uses maxLevel=3 -> 4 levels
+    # (frontend.cpp:150) because OpenCV LK starts from scratch; here LK is
+    # seeded with map-reprojection priors and backed by the rescue re-track,
+    # so the 4th (coarsest) level's large-motion insurance is redundant: a
+    # 7-seed canonical-world ensemble measured lk_levels=3 statistically
+    # neutral on ATE (mean 1.59 vs 1.44 m, paired diffs scatter around
+    # zero, 4/4 loop edges every seed, zero LOST —
+    # scripts/SWEEP_SEEDS_AB.json) while cutting the fused frame program
+    # ~29% (chain 134 vs 104 FPS at KITTI res; every pyramidal-LK pass —
+    # temporal, stereo, replenish, forward-backward — shrinks with it).
+    lk_levels: int = 3
     # Iteration cap per level.  The reference's OpenCV call uses 30
     # (frontend.cpp:150); here LK is seeded with map-reprojection priors and
     # runs an early-exit convergence loop, and 20 measured BOTH faster
