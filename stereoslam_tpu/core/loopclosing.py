@@ -298,7 +298,7 @@ class LoopCloser:
                 match_loop_feat=match_final,
                 num_inliers=refined.num_inliers,
             ),
-            _pack_f32(enough, need_correct),
+            _pack_f32(enough, need_correct, pose_err, odo),
             map_out,
         )
 
@@ -547,9 +547,12 @@ class LoopCloser:
         verify, verify_packed, map_state = self._jit_verify(
             map_state, loop, jnp.int32(kf_id), det.loop_kf, sub
         )
-        vp = np.asarray(verify_packed)  # ONE fetch: [verified, need_correct]
+        vp = np.asarray(verify_packed)  # ONE fetch: [verified, need_correct,
+        #                                            pose_err_m, odometry_m]
         if not bool(vp[0]):
             return map_state, add_to_db(loop), False, -1
+        log.info("loop verified: KF %d -> %d, pose_err %.2f m (odo %.1f m)",
+                 kf_id, loop_kf, float(vp[2]), float(vp[3]))
 
         # Confirmed: cooldown starts now even if correction is skipped
         # (ComputeCorrectPose sets _mpLastClosedKF on success, loopclosing.cpp:331).

@@ -234,6 +234,7 @@ def run_endurance(
     seed: int = WORLD_SEED,
     seq=None,
     readback_lag: Optional[int] = None,
+    enable_loop: bool = True,
 ) -> dict:
     import time as _time
 
@@ -263,7 +264,7 @@ def run_endurance(
     )
     assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
 
-    slam = StereoSlam(cfg, enable_backend=True, enable_loop=True,
+    slam = StereoSlam(cfg, enable_backend=True, enable_loop=enable_loop,
                       readback_lag=readback_lag)
     lost_at, count, fps = _drive(slam, seq, n)
     ate = _traj_ate(slam, seq)

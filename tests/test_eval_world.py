@@ -81,12 +81,15 @@ def test_world_eval_matches_committed_record():
         if want.get("ate_vo_m"):
             assert rec["ate_m"] <= want["ate_vo_m"], (rec["ate_m"], want["ate_vo_m"])
     else:
-        # CPU reference point (2026-08-21, this code): ATE 4.69 loop-ON vs
-        # 8.84 loop-OFF — loop closing halves the drift and the edge
-        # pattern matches the TPU record's cadence.  Envelope: loop must
-        # beat THIS platform's own VO baseline, and stay within the
-        # documented band.
+        # CPU reference point (2026-08-21 r5, lk_levels=3/ba 3x8 defaults):
+        # ATE 5.08 loop-ON vs 12.07 loop-OFF, same 4-edge revisit cadence
+        # as the TPU record — loop closing cuts drift ~2.4x, and the
+        # platform gap narrowed from r4's ~4.6x to ~2.4x of the TPU value.
+        # Envelope: loop must beat THIS platform's own VO baseline and stay
+        # within the documented band (tightened 6.0 -> 5.6: the measured
+        # point plus 10%, so a >10% CPU regression fails loudly instead of
+        # hiding under the old 28% slack — VERDICT r4 missing #3).
         if rec.get("ate_vo_m"):
             assert rec["ate_m"] <= rec["ate_vo_m"], (rec["ate_m"], rec["ate_vo_m"])
-        assert rec["ate_m"] <= 6.0, rec["ate_m"]
+        assert rec["ate_m"] <= 5.6, rec["ate_m"]
     assert abs(rec["kf_rate"] - want["kf_rate"]) < 0.03
