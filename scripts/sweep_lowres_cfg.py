@@ -26,14 +26,15 @@ def main():
 
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     variants = [
-        ("scaled", None),  # scaled_for_resolution defaults: window 7 etc.
-        ("w9", {"tracking": {"lk_window": 9}}),
-        ("w11", {"tracking": {"lk_window": 11}}),
-        ("w11_good35", {"tracking": {"lk_window": 11},
-                        "features": {"num_features_tracking_good": 35}}),
         ("w11_good35_rep60", {"tracking": {"lk_window": 11,
                                            "replenish_min_inliers": 60},
                               "features": {"num_features_tracking_good": 35}}),
+        ("w7_good35_rep60", {"tracking": {"replenish_min_inliers": 60},
+                             "features": {"num_features_tracking_good": 35}}),
+        ("w11_good35_rep60_pool30",
+         {"tracking": {"lk_window": 11, "replenish_min_inliers": 60,
+                       "replenish_min_pool": 30},
+          "features": {"num_features_tracking_good": 35}}),
     ]
     out = {}
     for name, ov in variants:

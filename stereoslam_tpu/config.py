@@ -104,6 +104,14 @@ class TrackingConfig:
     # ~29% (chain 134 vs 104 FPS at KITTI res; every pyramidal-LK pass —
     # temporal, stereo, replenish, forward-backward — shrinks with it).
     lk_levels: int = 3
+    # Stereo-matching pyramid depth (FindFeaturesInRight + init +
+    # replenish, frontend.cpp:335-379/451-488).  Stereo LK seeds at ZERO
+    # disparity, so near landmarks (disparity up to ~90 px at the canonical
+    # camera) need the coarse levels that reprojection-seeded temporal
+    # tracking no longer pays for — 3 shared levels lost the near field and
+    # broke the blob-world loop test (ATE 0.67 -> 7.75, r5).  Cost lands on
+    # keyframe/replenish frames only.  0 = follow lk_levels.
+    lk_stereo_levels: int = 4
     # Iteration cap per level.  The reference's OpenCV call uses 30
     # (frontend.cpp:150); here LK is seeded with map-reprojection priors and
     # runs an early-exit convergence loop, and 20 measured BOTH faster
@@ -205,15 +213,16 @@ class BackendConfig:
 
     # Caps on the reference's 5-round x 10-iteration schedule
     # (backend.cpp:213).  Both loops carry convergence early exits
-    # (ops/schur.py), so these are ceilings, not budgets.  The r5 TPU sweep
-    # (scripts/SWEEP_SPEED.json) measured 3x8 and 4x8 producing IDENTICAL
-    # canonical-world trajectories (ATE 0.7126) — the extra rounds never
-    # execute once the inlier ratio clears 0.5 (the reference's own stop
-    # rule, backend.cpp:212-232) — and both beat the 5x10 ceiling's 1.018 m
-    # while cutting ~0.7 ms/frame of windowed-BA tail: the only sweep knob
-    # that improved speed AND accuracy together.
-    ba_rounds: int = 3
-    ba_iters: int = 8
+    # (ops/schur.py), so these are ceilings, not budgets.  r5 calibration:
+    # on the textured canonical world, 3x8/4x8/4x10 behave alike (the
+    # inlier ratio clears 0.5 early — the reference's own stop rule,
+    # backend.cpp:212-232 — and beat the 5x10 ceiling's single-seed 1.018 m
+    # at 0.713); but on the sparse blob world the ba_iters=8 cap cut
+    # REAL refinement (forward-course ATE 0.045 -> 0.616, /tmp r5 A/B:
+    # 4x10 and 5x10 both measure 0.045).  Ship 4x10: one round below the
+    # reference ceiling (pure early-exit saving), full per-round depth.
+    ba_rounds: int = 4
+    ba_iters: int = 10
     chi2_threshold: float = 5.991
     min_inlier_ratio: float = 0.5
     # Pin the oldest window KF as the gauge anchor.  The reference relies
@@ -245,10 +254,14 @@ class LoopClosingConfig:
     #    no verify);
     min_inlier_ratio: float = 0.35
     # 2. correction magnitude must be explainable as accumulated odometry
-    #    drift: |log(T_cur . T_corrected^-1)| <= frac * odometry_distance
-    #    (since the loop KF) + abs;
+    #    drift: |log(T_cur . T_corrected^-1)| <= min(frac * odometry_distance,
+    #    cap) + abs.  The cap matters on long runs: by lap 3 of the
+    #    endurance circuit the odometry term alone allowed ~128 m, and a
+    #    4.9 m mis-verified correction passed and killed tracking
+    #    (r5 scripts/diag_endurance.py);
     max_correction_frac: float = 0.25
     max_correction_abs: float = 1.5
+    max_correction_cap: float = 12.0
     # 3. post-PGO consistency: mean squared sequential-edge residual after
     #    optimization must stay below this, else the whole correction
     #    (fusion + PGO) rolls back atomically.  0.02 = ~0.14 rad/m per-edge

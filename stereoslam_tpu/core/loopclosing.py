@@ -73,6 +73,47 @@ class VerifyResult(NamedTuple):
     num_inliers: jnp.ndarray    # () int32
 
 
+def post_correction_unlink(tracks, T_rk, ref_kf, map_state, intr: Intrinsics,
+                           max_px: float = 50.0):
+    """Drop feature<->landmark links that a loop correction left grossly
+    inconsistent with the current camera.
+
+    A correction moves the ACTIVE window rigidly (camera and active
+    landmarks stay mutually consistent), but tracks merged onto old-lap
+    landmarks re-anchor through PGO'd first-observer poses that can shift
+    differently by meters.  The r5 endurance diagnosis
+    (scripts/diag_endurance.py) showed the failure mode: after a ~5 m
+    correction on lap 3, pose-only LM faced a track table dominated by
+    such shifted links, classified everything as outliers and tracking
+    died at 0 inliers — while loop-OFF VO survived the same frames.  This
+    pass re-projects every linked landmark under the corrected pose and
+    unlinks those beyond ``max_px`` (or behind the camera); the slots stay
+    alive and re-triangulate at the next keyframe, exactly like the
+    reference's outlier unlink (frontend.cpp:255-270) — applied at
+    correction time instead of pose-optimization time.
+
+    Returns (tracks', n_unlinked).
+    """
+    from stereoslam_tpu.ops.camera import world2camera, world2pixel
+
+    T_kf = jnp.where(ref_kf >= 0, map_state.kf_T_cw[jnp.maximum(ref_kf, 0)],
+                     jnp.eye(4, dtype=jnp.float32))
+    T_cw = T_rk @ T_kf
+    safe = jnp.maximum(tracks.lm_idx, 0)
+    pos = map_state.lm_pos[safe]
+    usable = (
+        (tracks.lm_idx >= 0)
+        & map_state.lm_valid[safe]
+        & ~map_state.lm_outlier[safe]
+    )
+    px = world2pixel(pos, T_cw, intr)
+    err = jnp.linalg.norm(px - tracks.xy, axis=-1)
+    z = world2camera(pos, T_cw)[..., 2]
+    bad = tracks.valid & usable & ((err > max_px) | (z <= 0.0))
+    lm_idx = jnp.where(bad, -1, tracks.lm_idx)
+    return tracks._replace(lm_idx=lm_idx), jnp.sum(bad.astype(jnp.int32))
+
+
 class LoopCloser:
     """Host-side driver owning the jitted loop-closing stages."""
 
@@ -272,7 +313,9 @@ class LoopCloser:
         T_cur = map_state.kf_T_cw[kf_id]
         pose_err = jnp.linalg.norm(se3.log(T_cur @ se3.inv(refined.T_cw)))
         err_ok = pose_err <= (
-            cfg.loop.max_correction_frac * odo + cfg.loop.max_correction_abs
+            jnp.minimum(cfg.loop.max_correction_frac * odo,
+                        cfg.loop.max_correction_cap)
+            + cfg.loop.max_correction_abs
         )
         enough = enough & ratio_ok & err_ok
         need_correct = enough & (pose_err > cfg.loop.correction_threshold)

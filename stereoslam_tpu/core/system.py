@@ -272,6 +272,11 @@ class StereoSlam:
                 cfg, self.intr_left, mesh=mesh, descriptor_model=descriptor_model,
                 preprocess=lambda lr_u8: self._pre_left(lr_u8[0]),
             )
+            self._jit_pc_unlink = jax.jit(
+                lambda tr, T_rk, ref, m: loop_mod.post_correction_unlink(
+                    tr, T_rk, ref, m, self.intr_left
+                )
+            )
 
     # ------------------------------------------------------------------
     def process_frame(self, left: np.ndarray, right: np.ndarray, timestamp: float) -> bool:
@@ -571,6 +576,12 @@ class StereoSlam:
             # shared mappoint pointers, loopclosing.cpp:521-529).
             tracks = self.fs.tracks._replace(
                 lm_idx=self._loop_closer.remap_tracks(self.fs.tracks.lm_idx)
+            )
+            # Post-correction consistency unlink (r5 endurance fix): drop
+            # links whose landmark the correction left grossly inconsistent
+            # with the corrected camera — see loopclosing.post_correction_unlink.
+            tracks, _ = self._jit_pc_unlink(
+                tracks, self.fs.T_rk, self.fs.ref_kf, self.map
             )
             self.fs = self.fs._replace(tracks=tracks)
             log.info("loop closed: KF %d -> KF %d", kf_id, int(loop_kf))

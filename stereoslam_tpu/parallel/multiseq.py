@@ -512,11 +512,27 @@ class MultiSeqVO:
                 )
                 self.maps = self._jit_put_map(self.maps, m_b, b)
                 return
-            # Landmark-merge remap must reach the live frontend tracks.
+            # Landmark-merge remap must reach the live frontend tracks, and
+            # links the correction left grossly inconsistent are dropped
+            # (post_correction_unlink — the r5 endurance fix).
+            from stereoslam_tpu.core.loopclosing import post_correction_unlink
+            from stereoslam_tpu.core.state import TrackState
+
             lm_row = lc._jit_remap(self.fs.tracks.lm_idx[b], remap)
+            if not hasattr(self, "_jit_pc_unlink"):
+                self._jit_pc_unlink = jax.jit(
+                    lambda tr, T_rk, ref, m: post_correction_unlink(
+                        tr, T_rk, ref, m, self.intr
+                    )
+                )
+            tr_b = TrackState(xy=self.fs.tracks.xy[b], lm_idx=lm_row,
+                              valid=self.fs.tracks.valid[b])
+            tr_b, _ = self._jit_pc_unlink(
+                tr_b, self.fs.T_rk[b], self.fs.ref_kf[b], m_b
+            )
             self.fs = self.fs._replace(
                 tracks=self.fs.tracks._replace(
-                    lm_idx=self.fs.tracks.lm_idx.at[b].set(lm_row)
+                    lm_idx=self.fs.tracks.lm_idx.at[b].set(tr_b.lm_idx)
                 )
             )
         self.maps = self._jit_put_map(self.maps, m_b, b)
