@@ -211,17 +211,18 @@ class MapConfig:
 class BackendConfig:
     """Sliding-window BA (reference src/backend.cpp:126-269)."""
 
-    # Caps on the reference's 5-round x 10-iteration schedule
-    # (backend.cpp:213).  Both loops carry convergence early exits
-    # (ops/schur.py), so these are ceilings, not budgets.  r5 calibration:
-    # on the textured canonical world, 3x8/4x8/4x10 behave alike (the
-    # inlier ratio clears 0.5 early — the reference's own stop rule,
-    # backend.cpp:212-232 — and beat the 5x10 ceiling's single-seed 1.018 m
-    # at 0.713); but on the sparse blob world the ba_iters=8 cap cut
-    # REAL refinement (forward-course ATE 0.045 -> 0.616, /tmp r5 A/B:
-    # 4x10 and 5x10 both measure 0.045).  Ship 4x10: one round below the
-    # reference ceiling (pure early-exit saving), full per-round depth.
-    ba_rounds: int = 4
+    # The reference's 5-round x 10-iteration ceiling (backend.cpp:213),
+    # kept verbatim.  Both loops carry convergence early exits
+    # (ops/schur.py) so converged problems stop far earlier — but the r5
+    # cap experiments showed the CEILING itself is load-bearing on sparse
+    # scenes: capping to 3x8 degraded the blob forward course 0.045 ->
+    # 0.616 m, and 4x10 (bit-equal to 5x10 there) broke the blob loop
+    # course outright — each world sits on a different knife edge, and
+    # only the full reference budget passes every acceptance world.  The
+    # textured canonical circuit is cap-insensitive (0.7-1.0 m either
+    # way, within its seed-ensemble chaos band, SWEEP_SEEDS_AB.json), so
+    # the ~0.5 ms/frame the caps saved there is not worth non-parity.
+    ba_rounds: int = 5
     ba_iters: int = 10
     chi2_threshold: float = 5.991
     min_inlier_ratio: float = 0.5
@@ -358,13 +359,25 @@ class SlamConfig:
         if f >= 1.0:
             return self
 
-        def odd(x: int) -> int:
-            return x if x % 2 == 1 else x + 1
+        import math
 
+        # r5 half-res sweeps (scripts/SWEEP_LOWRES_CFG.json): shrinking the
+        # LK window with resolution LOST accuracy every round (less signal
+        # per window on already-degraded texture), so the window stays at
+        # its tuned size; what must scale are the geometric constants
+        # (cell/border/disparity, linear in f) and the status/replenish
+        # COUNT thresholds (sqrt(f): the trackable-feature pool shrinks
+        # sub-linearly with pixel count) — 50/80 at full width maps to
+        # 35/57 at half, the measured winner (mean ATE 6.3 vs 10-17 for
+        # the alternatives at equal keyframe rate ~0.35).
+        sf = math.sqrt(f)
         tr = dataclasses.replace(
             self.tracking,
-            lk_window=odd(max(5, round(self.tracking.lk_window * f))),
             stereo_min_disparity=self.tracking.stereo_min_disparity * f,
+            replenish_min_inliers=(
+                round(self.tracking.replenish_min_inliers * sf)
+                if self.tracking.replenish_min_inliers else 0
+            ),
         )
         fe = dataclasses.replace(
             self.features,
@@ -372,6 +385,10 @@ class SlamConfig:
             # BRIEF samples within a ~16-px patch radius; the detection
             # border may shrink with resolution but never below that.
             edge_margin=max(12, round(self.features.edge_margin * f)),
+            num_features_tracking_good=max(
+                self.features.num_features_tracking_bad + 5,
+                round(self.features.num_features_tracking_good * sf),
+            ),
         )
         return dataclasses.replace(self, tracking=tr, features=fe)
 

@@ -295,7 +295,18 @@ def _stereo_and_triangulate(
     ensemble stayed flat.  The extra level is built here by halving, only
     on keyframe/replenish frames.
     """
+    import math
+
     depth = cfg.tracking.lk_stereo_levels or cfg.tracking.lk_levels
+    # Never build a level whose min dimension falls below ~2 LK windows:
+    # at 120x188 a 4th level is 15x23 px — smaller than the 11 px window —
+    # and its garbage flow estimates poisoned stereo disparities at low
+    # resolution (r5: half-res loop verification collapsed to 0 edges).
+    h0, w0 = pyr_left[0].shape
+    max_depth = max(1, int(math.floor(
+        math.log2(min(h0, w0) / (2.0 * cfg.tracking.lk_window))
+    )) + 1)
+    depth = min(depth, max_depth)
     pyr_left = _extend_pyramid(pyr_left, depth)
     pyr_right = _extend_pyramid(pyr_right, depth)
     flow = pyramidal_lk(

@@ -258,9 +258,11 @@ def run_endurance(
             bf=seq.fx * seq.baseline,
         ),
         image_height=h, image_width=w,
-        # Pressure the allocator on purpose: ~850 KFs x ~100-150 landmarks
-        # crosses 90% of 65536 mid-run, so compaction MUST fire live.
-        map=MapConfig(max_landmarks=65536),
+        # Pressure the allocator on purpose: the run creates ~53k landmarks
+        # (measured final count at 982 KFs), so a 49152-slot table crosses
+        # its 90% compaction threshold (44k) mid-run — compaction MUST
+        # fire live, with headroom for what it frees.
+        map=MapConfig(max_landmarks=49152),
     )
     assert cfg.loop.similarity_high == 0.94 and cfg.loop.id_gap == 20
 

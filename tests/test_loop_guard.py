@@ -152,7 +152,8 @@ def test_injected_garbage_verify_cannot_degrade_trajectory():
                 need_correct=jnp.bool_(True),
                 T_corrected=jnp.asarray(T_bad),
             ),
-            jnp.asarray([1.0, 1.0], jnp.float32),
+            # [verified, need_correct, pose_err_m, odometry_m]
+            jnp.asarray([1.0, 1.0, 61.6, 40.0], jnp.float32),
             map_out,
         )
 

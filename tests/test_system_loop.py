@@ -41,7 +41,14 @@ def loop_cfg(seq):
             min_matches=10,
             min_inliers=10,
             correction_threshold=0.5,
-        )
+        ),
+        # The sparse-blob micro-world is texture-starved (few features,
+        # each load-bearing): it needs the reference's 4-level pyramid
+        # (maxLevel=3, frontend.cpp:150), the same way this cfg already
+        # pins blob-tuned similarity thresholds.  The shipped 3-level
+        # default is calibrated on textured imagery (7-seed photoreal
+        # ensemble, scripts/SWEEP_SEEDS_AB.json).
+        tracking=dataclasses.replace(cfg.tracking, lk_levels=4),
     )
 
 
