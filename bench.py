@@ -248,6 +248,69 @@ def main():
         sys.stderr.write(f"[bench {time.strftime('%H:%M:%S')}] {msg}\n")
         sys.stderr.flush()
 
+    # ---------------- Phase K: world circuit at KITTI resolution -------------
+    # Device-resident throughput on a trajectory with real turns, keyframe
+    # bursts and revisits (VERDICT r3 weak #8: Phase A's forward glide never
+    # exercises the BAD/replenish branches).  Rendered at 376x1241 with the
+    # canonical world's FOV scaling.
+    #
+    # Runs FIRST: with phase A's five StereoSlam instances and their device
+    # tables still alive, this loop measured 13-46 FPS in-process vs ~60
+    # standalone (r5 — device-buffer pressure on the tunneled chip); running
+    # it on a fresh device avoids the contamination, and its own state is
+    # freed below before phase A starts.
+    world_kitti_fps = None
+    if "k" in phases:
+        try:
+            import gc
+
+            from stereoslam_tpu import eval as EV
+            from stereoslam_tpu.utils import world as WORLD
+
+            n_k = int(os.environ.get("BENCH_WORLD_KITTI_FRAMES", "180"))
+            _note(f"phase K: world circuit at KITTI res ({n_k} frames)")
+            kseq = WORLD.generate_world_sequence(
+                n_frames=n_k, h=H, w=W, fx=320.0 * W / EV.WORLD_W,
+                seed=EV.WORLD_SEED, step=EV.WORLD_STEP,
+                length=EV.WORLD_LENGTH, width=EV.WORLD_WIDTH,
+            )
+            kcfg = SlamConfig(
+                camera=CameraConfig(
+                    fx=kseq.fx, fy=kseq.fy, cx=kseq.cx, cy=kseq.cy,
+                    fx_right=kseq.fx, fy_right=kseq.fy, cx_right=kseq.cx,
+                    cy_right=kseq.cy, bf=kseq.fx * kseq.baseline,
+                ),
+                image_height=H, image_width=W,
+            )
+            kslam = StereoSlam(kcfg, enable_backend=True, enable_loop=True)
+            kstaged = [
+                jax.device_put(
+                    np.stack([kseq.left[t], kseq.right[t]]).astype(np.uint8)
+                )
+                for t in range(n_k)
+            ]
+            jax.block_until_ready(kstaged[-1])
+            for t in range(warmup):
+                kslam.process_staged(kstaged[t], kseq.timestamps[t])
+            kslam._drain()
+            jax.block_until_ready(kslam.fs.T_rk)
+            t0 = time.perf_counter()
+            nk = 0
+            for t in range(warmup, n_k):
+                if not kslam.process_staged(kstaged[t], kseq.timestamps[t]):
+                    break
+                nk += 1
+            kslam._drain()
+            jax.block_until_ready(kslam.fs.T_rk)
+            world_kitti_fps = nk / max(time.perf_counter() - t0, 1e-9)
+            _note(f"  world-at-KITTI-res fps={world_kitti_fps:.1f} "
+                  f"(n_kf={int(kslam.map.n_kf)})")
+            kslam = kstaged = kseq = None
+            gc.collect()
+        except Exception as e:
+            sys.stderr.write(f"world-kitti phase failed: {e}\n")
+
+
     fps = fps_wire = tracking_fps = fps_undistort = 0.0
     lat = np.zeros(0)
     ba_iters_per_sec = 0.0
@@ -397,58 +460,6 @@ def main():
             multiseq_mpx = multiseq_fps * 240 * 376 / 1e6
         except Exception as e:
             sys.stderr.write(f"multiseq phase failed: {e}\n")
-
-    # ---------------- Phase K: world circuit at KITTI resolution -------------
-    # Device-resident throughput on a trajectory with real turns, keyframe
-    # bursts and revisits (VERDICT r3 weak #8: Phase A's forward glide never
-    # exercises the BAD/replenish branches).  Rendered at 376x1241 with the
-    # canonical world's FOV scaling.
-    world_kitti_fps = None
-    if "k" in phases:
-        try:
-            from stereoslam_tpu import eval as EV
-            from stereoslam_tpu.utils import world as WORLD
-
-            n_k = int(os.environ.get("BENCH_WORLD_KITTI_FRAMES", "180"))
-            _note(f"phase K: world circuit at KITTI res ({n_k} frames)")
-            kseq = WORLD.generate_world_sequence(
-                n_frames=n_k, h=H, w=W, fx=320.0 * W / EV.WORLD_W,
-                seed=EV.WORLD_SEED, step=EV.WORLD_STEP,
-                length=EV.WORLD_LENGTH, width=EV.WORLD_WIDTH,
-            )
-            kcfg = SlamConfig(
-                camera=CameraConfig(
-                    fx=kseq.fx, fy=kseq.fy, cx=kseq.cx, cy=kseq.cy,
-                    fx_right=kseq.fx, fy_right=kseq.fy, cx_right=kseq.cx,
-                    cy_right=kseq.cy, bf=kseq.fx * kseq.baseline,
-                ),
-                image_height=H, image_width=W,
-            )
-            kslam = StereoSlam(kcfg, enable_backend=True, enable_loop=True)
-            kstaged = [
-                jax.device_put(
-                    np.stack([kseq.left[t], kseq.right[t]]).astype(np.uint8)
-                )
-                for t in range(n_k)
-            ]
-            jax.block_until_ready(kstaged[-1])
-            for t in range(warmup):
-                kslam.process_staged(kstaged[t], kseq.timestamps[t])
-            kslam._drain()
-            jax.block_until_ready(kslam.fs.T_rk)
-            t0 = time.perf_counter()
-            nk = 0
-            for t in range(warmup, n_k):
-                if not kslam.process_staged(kstaged[t], kseq.timestamps[t]):
-                    break
-                nk += 1
-            kslam._drain()
-            jax.block_until_ready(kslam.fs.T_rk)
-            world_kitti_fps = nk / max(time.perf_counter() - t0, 1e-9)
-            _note(f"  world-at-KITTI-res fps={world_kitti_fps:.1f} "
-                  f"(n_kf={int(kslam.map.n_kf)})")
-        except Exception as e:
-            sys.stderr.write(f"world-kitti phase failed: {e}\n")
 
     # ---------------- Phase B: accuracy on the world circuit ----------------
     world = None

@@ -151,6 +151,22 @@ class TrackingConfig:
     # seeded pass — i.e. when the constant-velocity prior misled (corner
     # entries).  0 disables.
     lk_retry_fail_frac: float = 0.2
+    # Second (DEEP) rescue pass: when the prev-position rescue still leaves
+    # more than lk_retry_fail_frac of the valid tracks failed, re-track the
+    # survivors-to-be with the pyramid extended by this many extra coarse
+    # levels (capped so no level falls under 2 LK windows).  This restores
+    # the reference's maxLevel=3 large-motion catch range EXACTLY where it
+    # is needed — fast turns at high resolution, where per-frame flow
+    # exceeds the 3-level range (r5: the KITTI-res world circuit went LOST
+    # at a corner under lk_levels=3; the straight-line steady state never
+    # fires either cond and keeps the 29% chain-time win).  0 disables.
+    lk_rescue_extra_levels: int = 1
+    # Trigger fraction for the DEEP pass, deliberately harder than the
+    # shallow rescue's: the deep re-track's coarse levels cost accuracy on
+    # tracks the shallow pyramid could have handled, so it should fire only
+    # on catastrophic prior failure (most of the frame lost — the LOST
+    # precursor), not on routine corner-entry spikes.
+    lk_deep_rescue_frac: float = 0.5
     # Pose trust region (frontend.py track_step): reject an LM pose that is
     # BOTH weak (inliers < tracking_good) and further than
     # factor*|log(T_vel)| + min from the motion prediction; dead-reckon that

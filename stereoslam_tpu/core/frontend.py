@@ -129,6 +129,43 @@ def track_step(
             )
 
         flow = jax.lax.cond(do_retry, _retry, lambda f1: f1, flow)
+
+        # DEEP rescue (device-side cond): if the prev-seeded rescue STILL
+        # leaves a failure spike, the per-frame flow exceeds the shallow
+        # pyramid's catch range (fast turns at high resolution — r5: the
+        # KITTI-res circuit went LOST at a corner under lk_levels=3).
+        # Re-track the remaining failures with extra coarse levels, built
+        # here by halving so only triggering frames pay for them.  The
+        # min-size cap mirrors _stereo_and_triangulate's: no level under
+        # ~2 LK windows (garbage flow at 15x23 px poisoned half-res runs).
+        extra = cfg.tracking.lk_rescue_extra_levels
+        if extra > 0:
+            import math as _math
+
+            h0, w0 = pyr_prev[0].shape
+            max_depth = max(1, int(_math.floor(_math.log2(
+                min(h0, w0) / (2.0 * cfg.tracking.lk_window)
+            ))) + 1)
+            deep_n = min(len(pyr_prev) + extra, max_depth)
+            if deep_n > len(pyr_prev):
+                fail2 = tr.valid & ~flow.status
+                do_deep = jnp.sum(fail2.astype(jnp.int32)) > (
+                    cfg.tracking.lk_deep_rescue_frac
+                    * n_valid.astype(jnp.float32)
+                )
+
+                def _deep(f1):
+                    dp = _extend_pyramid(pyr_prev, deep_n)
+                    dc = _extend_pyramid(pyr_cur, deep_n)
+                    f2 = pyramidal_lk(dp, dc, tr.xy, tr.xy, **lk_kw)
+                    use2 = fail2 & f2.status
+                    return type(f1)(
+                        points=jnp.where(use2[:, None], f2.points, f1.points),
+                        status=f1.status | use2,
+                        error=jnp.where(use2, f2.error, f1.error),
+                    )
+
+                flow = jax.lax.cond(do_deep, _deep, lambda f1: f1, flow)
     # The reference keeps only tracks whose source feature had a live map
     # point (frontend.cpp:157-166), discarding landmark-less survivors.  Here
     # every LK survivor stays alive: the flow for all slots is already
