@@ -321,12 +321,14 @@ def main():
         slam, fps = run_resident(True, True)
         lat = np.asarray(slam.frame_latency_ms[warmup:] or slam.frame_latency_ms)
         _note(f"  resident fps={fps:.1f}; chunked next")
-        # Chunked dispatch measured SLOWER than per-frame on the tunneled
-        # v5e (the scan carry costs more than the dispatch it saves), so
-        # per-frame is the shipped mode; the chunked figure is recorded so
-        # the trade stays visible (process_chunk remains the right call
-        # when host dispatch is the bottleneck, e.g. slow host / many
-        # pipelines per host).
+        # Chunked dispatch measured SLOWER than per-frame at readback lag
+        # 10 (94.6 vs 107-113: the lax.scan carry of the ~20-leaf MapState
+        # costs ~2 ms/frame inside the compiled program, while lag 10
+        # already hides the per-frame fetch), so per-frame is the shipped
+        # mode; the chunked figure is recorded so the trade stays visible
+        # (process_chunk remains the right call when per-call readback
+        # cannot be hidden, e.g. short readback budgets / many pipelines
+        # per host — at lag 4 it measured FASTER, 94.6 vs 77-89).
         _, fps_chunked = run_chunked(True, True)
         _note(f"  chunked fps={fps_chunked:.1f}; wire-fed next")
         _, fps_wire = run_wire(True, True)

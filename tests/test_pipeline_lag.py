@@ -1,6 +1,6 @@
 """Correctness coverage for the pipelined (lag-N readback) frame loop.
 
-The TPU perf path runs with ``readback_lag=6`` (core/system.py): frame
+The TPU perf path runs with ``readback_lag=10`` (core/system.py): frame
 outcomes are read back N frames late so the host never blocks on the
 tunnel round-trip.  The KF decision itself is on-device (frame_step's
 lax.cond), so the device-side state evolution must not depend on when
@@ -43,7 +43,7 @@ def run_with_lag(seq, lag, enable_backend=True, enable_loop=False):
     return slam, np.stack(est)
 
 
-@pytest.mark.parametrize("lag", [1, 3, 6])
+@pytest.mark.parametrize("lag", [1, 3, 10])
 def test_lagged_run_matches_synchronous(seq, lag):
     slam0, est0 = run_with_lag(seq, 0)
     slamN, estN = run_with_lag(seq, lag)
