@@ -283,6 +283,12 @@ def main():
                 image_height=H, image_width=W,
             )
             kslam = StereoSlam(kcfg, enable_backend=True, enable_loop=True)
+            # Compile the mid-run-event programs (loop verify/correct,
+            # compaction) BEFORE the clock: the first verified correction
+            # otherwise pays ~720 ms of XLA compile inside the timed loop
+            # (C++ pays no runtime compile; excluding compile from timing
+            # is this bench's pinned policy).
+            kslam.warmup_compile()
             kstaged = [
                 jax.device_put(
                     np.stack([kseq.left[t], kseq.right[t]]).astype(np.uint8)

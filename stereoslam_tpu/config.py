@@ -247,6 +247,16 @@ class BackendConfig:
     # 175-177), which leaves the gauge free early in a run; fixing the oldest
     # pose removes that drift without changing the converged solution.
     fix_oldest_kf: bool = True
+    # Busy-coalescing (backend.cpp:74-103): the reference backend THREAD
+    # collapses map-update signals that arrive while an optimization is
+    # still running — at its measured BA wall time (tens of ms ≈ several
+    # frames at 100 FPS) keyframes created during that window never get an
+    # optimization of their own.  On a single serialized device stream the
+    # same semantics become a minimum spacing, in frames, between inline
+    # BA runs: a keyframe younger than this since the last BA'd keyframe
+    # skips its BA (the next one that clears the spacing runs it).
+    # 0 disables (BA at every keyframe).
+    ba_min_frame_spacing: int = 5
 
 
 @dataclass(frozen=True)

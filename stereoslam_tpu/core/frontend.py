@@ -607,10 +607,23 @@ def frame_step(
             intr_left, intr_right, baseline, timestamp, cfg,
         )
         if ba_fn is not None:
-            # Backend BA runs for exactly this keyframe, in stream order
-            # (the reference's backend thread drains its queue per KF,
-            # backend.cpp:74-103 — here the "queue" is the device stream).
-            m_kf = ba_fn(m_kf)
+            # Backend BA in stream order, with busy-coalescing: the
+            # reference's backend thread collapses map-update signals that
+            # arrive while an optimization is in flight (backend.cpp:74-103),
+            # so keyframes landing inside the previous BA's wall-time window
+            # (ba_min_frame_spacing frames) coalesce into the next run.
+            spacing = cfg.backend.ba_min_frame_spacing
+            run_ba = (
+                (fs_kf.frame_id - m_kf.last_ba_frame) >= spacing
+                if spacing > 0
+                else jnp.bool_(True)
+            )
+            m_kf = jax.lax.cond(
+                run_ba,
+                lambda m: ba_fn(m)._replace(last_ba_frame=fs_kf.frame_id),
+                lambda m: m,
+                m_kf,
+            )
         return fs_kf, m_kf, kf_id
 
     def no_kf(args):

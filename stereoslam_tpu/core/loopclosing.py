@@ -160,6 +160,30 @@ class LoopCloser:
         self._host_last_closed: Optional[int] = None
         self._host_db_size: int = 0
 
+    def precompile(self, map_state: MapState, loop: LoopState) -> None:
+        """Compile the detect/verify/correct programs before the frame clock.
+
+        These jits otherwise compile lazily at the FIRST real loop event —
+        which lands mid-run, inside whatever is being timed (measured
+        ~720 ms of XLA compile on the first verified correction of a
+        KITTI-res circuit, 19% of a 180-frame bench's wall time).  Inputs
+        here are zero-filled copies of the live state shapes; results are
+        discarded (garbage-in/garbage-out is fine — every internal loop is
+        iteration-capped, so NaNs cannot hang a while_loop).  The
+        reference has no analog cost: C++ is compiled ahead of time."""
+        z = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), (map_state, loop))
+        ms, lp = z
+        det, _ = self._jit_detect(lp, jnp.int32(1))
+        verify, _, ms2 = self._jit_verify(
+            ms, lp, jnp.int32(1), det.loop_kf, jax.random.PRNGKey(0)
+        )
+        out = self._jit_correct(
+            ms2, lp, jnp.int32(1), det.loop_kf,
+            verify.T_corrected, verify.match_loop_feat,
+        )
+        jax.block_until_ready(out)
+        return out[2]  # remap array, so the caller can warm _jit_remap too
+
     def sync_host_counters(self, loop: LoopState) -> None:
         """Re-seed the host-side decision counters from a (restored) state."""
         self._host_last_closed = int(np.asarray(loop.last_closed_kf.reshape(1))[0])
@@ -579,6 +603,19 @@ class LoopCloser:
             return lp._replace(db_valid=lp.db_valid.at[kf_id].set(True))
 
         if token[0] == "warmup":
+            return map_state, add_to_db(loop), False, -1
+        # Cooldown re-check at FLUSH time: detection for this keyframe was
+        # enqueued before earlier queued keyframes' verdicts resolved, so a
+        # closure that landed in between re-arms the cooldown only now.
+        # Without this, a burst of queued detections can close on
+        # consecutive keyframes (measured: paired edges (99,100), (106,107)
+        # and loop-ON ATE degrading past VO) — the reference's sequential
+        # queue drain checks the cooldown per PROCESSED keyframe
+        # (loopclosing.cpp:127-131), which is exactly this point.
+        if (
+            self._host_last_closed is not None
+            and kf_id - self._host_last_closed <= cfg.insertion_cooldown
+        ):
             return map_state, add_to_db(loop), False, -1
         _, _, det, det_packed = token
         dp = np.asarray(det_packed)  # async-copied at start_detect

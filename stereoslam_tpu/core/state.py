@@ -82,6 +82,12 @@ class MapState(NamedTuple):
     # Active window (map.h:51-57)
     active_kf: jnp.ndarray      # (W,) i32, -1 for empty, ordered oldest->newest
     n_active: jnp.ndarray       # () i32
+    # Frame id of the last windowed-BA run (backend busy-coalescing: the
+    # reference backend thread collapses map-update signals that arrive
+    # while an optimization is in flight, backend.cpp:74-103 — keyframes
+    # landing inside the previous BA's wall-time window get no BA of their
+    # own.  ba_min_frame_spacing expresses that wall time in frames.)
+    last_ba_frame: jnp.ndarray  # () i32
 
     @property
     def capacity_kf(self) -> int:
@@ -152,6 +158,7 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         n_lm=jnp.int32(0),
         active_kf=jnp.full((W,), -1, jnp.int32),
         n_active=jnp.int32(0),
+        last_ba_frame=jnp.int32(-(1 << 30)),
     )
 
 
